@@ -1,0 +1,459 @@
+"""Round-based BFS crawl engine — the PySpark re-expression of the
+reference's three crawl engines (`crawler.go:27-46`) and of its own
+distributed NATS/Cassandra decomposition (`crawlmanager.go:43-148`).
+
+One **round** is one DataFrame job; the driver loop is the fixpoint
+(SURVEY.md §3). Semantics preserved from the reference:
+
+* depth gate before expansion (`crawler.go:93`): pages at depth
+  0..max_depth-1 are fetched; links discovered at the horizon are
+  recorded but never visited;
+* mark-visited *before* fetch (`crawler.go:173`): fetch-error and
+  empty-body URLs still appear in the adjacency output with ``[]``;
+* visited short-circuit (`crawler.go:169-171`): exact left-anti join
+  (plus advisory Bloom pre-filter at scale);
+* link pipeline fetch → extract → canonicalize (`crawler.go:176-195`)
+  resolved against the post-redirect ``final_url``;
+* per-URL link sets are unions (`sitemap.go:56-66`), output sorted
+  ascending (`sitemap.go:91-104`).
+
+Where the reference is racy (concurrent engines may double-fetch, visit
+order depends on goroutine scheduling), this engine defines the
+deterministic generalization: each URL visited at its minimal depth,
+first-wins tie-break on stable row keys only — identical to the
+reference whenever the reference is deterministic (diameter <
+max_depth), and parallelism-invariant always.
+
+Scale notes (100 TB / 10^10 URLs): the fetch is a join against the
+corpus on ``url`` — at scale the corpus should be bucketed/sorted by
+``url`` so every round's fetch-join co-locates without a shuffle; the
+image ``bytes`` column is never read in the crawl path (column pruning:
+the fetch-join projects only url/status/final_url/links), so the wide
+payload never enters a shuffle. Frontier state is partitioned by
+(host_hash, salt) with explicit salting for hot hosts; the politeness
+window reuses that key. The visited anti-join is the one unavoidable
+big shuffle; the Bloom pre-filter keeps its probe side sparse.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.udfs import clean_links_udf, extract_links_udf
+from .operators.bloom import BloomFilter, build_bloom, split_by_bloom, url_hash_col
+from .operators.politeness import dequeue_per_host
+from .operators.robots import apply_robots_gate
+from .schemas import FRONTIER_SCHEMA, SEEDS_SCHEMA
+
+# JVM-side host extraction (keeps port, unlike parse_url's HOST part,
+# for parity with Go's URL.Host — `crawler.go:247`).
+_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]*)"
+
+
+def _host_col(url):
+    return F.regexp_extract(url, _HOST_RE, 1)
+
+
+@dataclass
+class CrawlConfig:
+    max_depth: int = 1  # reference default (`cmd/standalone/sitemapper.go:21`)
+    per_host_budget: int | None = None  # None = unlimited (reference parity)
+    use_html_extraction: bool = False  # parse html vs pre-materialized out_links
+    use_bloom: bool = True
+    bloom_min_visited: int = 4096  # below this the exact anti-join is cheaper
+    salt_buckets: int = 8
+    hot_host_threshold: int = 100_000  # frontier rows per host before salting
+    max_rounds: int = 1000
+    checkpoint_dir: str | None = None  # None → engine-managed temp dir
+    num_partitions: int | None = None
+    priority_decay: float = 0.0  # candidate priority = parent − decay
+
+
+@dataclass
+class CrawlResult:
+    sitemap_ids: list[str]
+    rounds: int
+    visited: DataFrame
+    edges: DataFrame
+    lineage: DataFrame
+    checkpoint_dir: str
+
+    def adjacency(self) -> DataFrame:
+        """(sitemap_id, src, links sorted asc) — every visited URL
+        present, zero-link pages with [] (`crawler.go:173` semantics)."""
+        links = (
+            self.edges.groupBy("sitemap_id", "src")
+            .agg(F.array_sort(F.collect_set("dst")).alias("links"))
+        )
+        return (
+            self.visited.select("sitemap_id", F.col("url").alias("src"))
+            .join(links, ["sitemap_id", "src"], "left")
+            .select(
+                "sitemap_id",
+                "src",
+                F.coalesce("links", F.array().cast("array<string>")).alias("links"),
+            )
+        )
+
+    def adjacency_dict(self, sitemap_id: str | None = None) -> dict[str, list[str]]:
+        """Flat {url: sorted links} map — the golden-file shape
+        (`internal/testdata/integration_test_results.json`)."""
+        df = self.adjacency()
+        if sitemap_id is not None:
+            df = df.filter(F.col("sitemap_id") == sitemap_id)
+        return {r["src"]: list(r["links"]) for r in df.collect()}
+
+    def to_json_obj(self, sitemap_id: str | None = None) -> dict:
+        """Reference stdout shape {Count, Results:[{URL, Links}]}
+        (`sitemap.go:106-122`); Results sorted by URL for determinism
+        (the reference's Results order is Go-map-random and its tests
+        compare order-insensitively, `crawler_test.go:73-97`)."""
+        adj = self.adjacency_dict(sitemap_id)
+        return {
+            "Count": len(adj),
+            "Results": [
+                {"URL": u, "Links": adj[u]} for u in sorted(adj)
+            ],
+        }
+
+
+class CrawlEngine:
+    """Deterministic frontier-expansion crawl over a pages corpus."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        corpus: DataFrame,
+        config: CrawlConfig | None = None,
+        robots: DataFrame | None = None,
+    ):
+        self.spark = spark
+        self.config = config or CrawlConfig()
+        self.robots = robots
+        # Project the fetch-relevant columns ONCE — the image payload
+        # (`bytes`) must never ride through the crawl path's shuffles.
+        cols = ["url", "status", "final_url"]
+        cols.append("html" if self.config.use_html_extraction else "out_links")
+        self.fetch_side = corpus.select(*cols).withColumnRenamed("url", "_corpus_url")
+
+    # ------------------------------------------------------------------
+    def _ckpt(self, *parts: str) -> str:
+        return os.path.join(self._dir, *parts)
+
+    def _write(self, df: DataFrame, round_no: int, name: str) -> DataFrame:
+        """Materialize a round artifact: truncates plan lineage, makes the
+        round restartable, and bounds memory like the reference's
+        Cassandra state tables do (`cassandra.go:79-118`)."""
+        path = self._ckpt(f"round={round_no:05d}", name)
+        df.write.mode("overwrite").parquet(path)
+        return self.spark.read.parquet(path)
+
+    def _manifest(self, round_no: int, payload: dict) -> None:
+        path = self._ckpt(f"round={round_no:05d}", "MANIFEST.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, path)  # atomic: manifest presence = round complete
+
+    def _complete_rounds(self) -> list[int]:
+        if not os.path.isdir(self._dir):
+            return []
+        out = []
+        for d in sorted(os.listdir(self._dir)):
+            if d.startswith("round=") and os.path.exists(
+                os.path.join(self._dir, d, "MANIFEST.json")
+            ):
+                out.append(int(d.split("=")[1]))
+        return out
+
+    def _read_rounds(self, name: str, rounds: list[int]) -> DataFrame | None:
+        paths = [
+            self._ckpt(f"round={r:05d}", name)
+            for r in rounds
+            if os.path.isdir(self._ckpt(f"round={r:05d}", name))
+        ]
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths)
+
+    # ------------------------------------------------------------------
+    def seeds_to_frontier(self, seeds: DataFrame) -> DataFrame:
+        """Seed ingestion (F1): seeds lowercased — discovered links are
+        NOT (`cmd/standalone/sitemapper.go:35`); depth 0, parent=self."""
+        s = seeds.select(
+            F.col("sitemap_id"),
+            F.lower(F.col("url")).alias("root"),
+            F.lower(F.col("url")).alias("url"),
+            F.col("priority"),
+        )
+        return s.select(
+            "sitemap_id",
+            "root",
+            "url",
+            _host_col(F.col("url")).alias("host"),
+            F.xxhash64(_host_col(F.col("url"))).alias("host_hash"),
+            F.lit(0).alias("salt"),
+            F.lit(0).alias("depth"),
+            F.col("priority"),
+            F.col("url").alias("parent"),
+            F.lit(0).alias("round"),
+        )
+
+    def run(
+        self,
+        seeds: DataFrame | list[tuple[str, str, int, float]],
+        resume: bool = False,
+    ) -> CrawlResult:
+        cfg = self.config
+        spark = self.spark
+        if isinstance(seeds, list):
+            seeds = spark.createDataFrame(seeds, SEEDS_SCHEMA)
+
+        self._dir = cfg.checkpoint_dir or os.path.join(
+            "/tmp", "sitemapper_spark_ckpt", spark.sparkContext.applicationId
+        )
+        if not resume and os.path.isdir(self._dir):
+            shutil.rmtree(self._dir)
+        os.makedirs(self._dir, exist_ok=True)
+
+        npart = cfg.num_partitions or spark.sparkContext.defaultParallelism
+        seeds_meta = seeds.select("sitemap_id", "max_depth").distinct()
+        sitemap_ids = [r["sitemap_id"] for r in seeds_meta.collect()]
+        max_depth_map = F.broadcast(seeds_meta)
+
+        done = self._complete_rounds()
+        if resume and done:
+            start_round = done[-1] + 1
+            frontier = self._read_rounds("frontier_next", [done[-1]])
+            visited_rounds = done
+        else:
+            start_round = 0
+            # Depth gate at ingestion (F2): a seed with max_depth=0 is
+            # never visited at all (`crawler.go:93` with depth==maxDepth).
+            frontier = (
+                self.seeds_to_frontier(seeds)
+                .join(max_depth_map, "sitemap_id")
+                .filter(F.col("depth") < F.col("max_depth"))
+                .drop("max_depth")
+            )
+            visited_rounds = []
+
+        round_no = start_round
+        while round_no < cfg.max_rounds:
+            if frontier.isEmpty():
+                break
+            frontier = frontier.repartition(npart, "host_hash", "salt")
+
+            # 1) politeness dequeue (F3/F10): top-priority per host,
+            #    deterministic carry-over instead of random backoff
+            dequeued, carry = dequeue_per_host(
+                frontier, cfg.per_host_budget, self.robots
+            )
+            dequeued = self._write(dequeued, round_no, "dequeued")
+            carry = self._write(carry, round_no, "carry")
+
+            # 2) mark visited BEFORE fetch (F5, `crawler.go:173`)
+            visited_new = self._write(
+                dequeued.select(
+                    "sitemap_id", "url", "host", "depth",
+                    F.lit(round_no).alias("round"),
+                ),
+                round_no,
+                "visited",
+            )
+            visited_rounds = visited_rounds + [round_no]
+            visited = self._read_rounds("visited", visited_rounds)
+
+            # 3) fetch = corpus join (F6); null right side / status!=200
+            #    = fetch error → no links, URL still visited
+            fetched = dequeued.join(
+                self.fetch_side,
+                dequeued["url"] == self.fetch_side["_corpus_url"],
+                "left",
+            )
+            if cfg.use_html_extraction:
+                raw_links = F.when(
+                    (F.col("status") == 200) & F.col("html").isNotNull()
+                    & (F.col("html") != ""),
+                    extract_links_udf(F.col("html")),
+                )
+            else:
+                raw_links = F.when(
+                    F.col("status") == 200, F.col("out_links")
+                )
+            fetched = fetched.withColumn("_raw_links", raw_links)
+
+            # 4) canonicalize against the POST-REDIRECT url (F7/F8,
+            #    `crawler.go:176,193`)
+            cleaned = fetched.withColumn(
+                "_links",
+                F.when(
+                    F.col("_raw_links").isNotNull()
+                    & (F.size("_raw_links") > 0),
+                    clean_links_udf(
+                        F.col("_raw_links"), F.col("root"), F.col("final_url")
+                    ),
+                ).otherwise(F.array().cast("array<string>")),
+            )
+
+            # 5) edges (F9) — duplicates collapse at aggregation time,
+            #    like UpdateURLWithLinks' set-union (`sitemap.go:56-66`)
+            edges_new = self._write(
+                cleaned.select(
+                    "sitemap_id",
+                    F.col("url").alias("src"),
+                    F.explode("_links").alias("dst"),
+                    "depth",
+                    F.lit(round_no).alias("round"),
+                ).dropDuplicates(["sitemap_id", "src", "dst"]),
+                round_no,
+                "edges",
+            )
+
+            # 6) lineage/metrics (F12 / crawl_jobs status rows)
+            lineage_new = cleaned.groupBy("sitemap_id", "host").agg(
+                F.count("*").alias("urls_dequeued"),
+                F.count(F.when(F.col("status") == 200, 1)).alias("fetched"),
+                F.count(
+                    F.when(
+                        F.col("status").isNull() | (F.col("status") != 200), 1
+                    )
+                ).alias("errors"),
+                F.sum(F.size("_links")).cast("long").alias("links_found"),
+            ).select(
+                F.lit(round_no).alias("round"),
+                "sitemap_id", "host", "urls_dequeued", "fetched", "errors",
+                F.coalesce("links_found", F.lit(0)).alias("links_found"),
+                F.lit("COMPLETE").alias("status"),
+            )
+            self._write(lineage_new, round_no, "lineage")
+
+            # 7) candidates at depth+1, gated by per-sitemap max_depth
+            #    (F2) and robots rules
+            candidates = (
+                edges_new.select(
+                    "sitemap_id",
+                    F.col("dst").alias("url"),
+                    (F.col("depth") + 1).alias("depth"),
+                    F.col("src").alias("parent"),
+                )
+                .join(max_depth_map, "sitemap_id")
+                .filter(F.col("depth") < F.col("max_depth"))
+                .drop("max_depth")
+            )
+            roots = dequeued.select("sitemap_id", "root").distinct()
+            candidates = candidates.join(F.broadcast(roots), "sitemap_id")
+            candidates = candidates.withColumn("host", _host_col(F.col("url")))
+            candidates = apply_robots_gate(candidates, self.robots)
+
+            # 8) first-wins dedup inside the round (F4 determinized):
+            #    rank by stable keys only — parallelism-invariant
+            w = Window.partitionBy("sitemap_id", "url").orderBy(
+                F.asc("depth"), F.asc("parent")
+            )
+            candidates = (
+                candidates.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+
+            # 9) seen-set dedup (F4): advisory Bloom pre-filter, exact
+            #    anti-join confirm vs visited ∪ carried frontier
+            candidates = candidates.withColumn(
+                "_h", url_hash_col(F.col("sitemap_id"), F.col("url"))
+            )
+            visited_count = visited.count()
+            if cfg.use_bloom and visited_count >= cfg.bloom_min_visited:
+                vh = visited.select(
+                    url_hash_col(F.col("sitemap_id"), F.col("url")).alias("_h")
+                )
+                bloom = build_bloom(
+                    vh, "_h", expected_items=max(visited_count, 1024)
+                )
+                fresh, maybe_seen = split_by_bloom(candidates, "_h", bloom)
+                confirmed = maybe_seen.join(
+                    visited.select("sitemap_id", "url"),
+                    ["sitemap_id", "url"],
+                    "left_anti",
+                )
+                survivors = fresh.unionByName(confirmed)
+            else:
+                survivors = candidates.join(
+                    visited.select("sitemap_id", "url"),
+                    ["sitemap_id", "url"],
+                    "left_anti",
+                )
+            survivors = survivors.join(
+                carry.select("sitemap_id", "url"),
+                ["sitemap_id", "url"],
+                "left_anti",
+            ).drop("_h")
+
+            # 10) next frontier = carry-over ∪ survivors, salted where hot
+            hot_hosts = [
+                r["host"]
+                for r in survivors.groupBy("host")
+                .count()
+                .filter(F.col("count") > cfg.hot_host_threshold)
+                .collect()
+            ]
+            salt = (
+                F.when(
+                    F.col("host").isin(hot_hosts),
+                    F.pmod(F.xxhash64(F.col("url")), F.lit(cfg.salt_buckets)),
+                ).otherwise(F.lit(0))
+                if hot_hosts
+                else F.lit(0)
+            )
+            survivors = survivors.select(
+                "sitemap_id",
+                "root",
+                "url",
+                "host",
+                F.xxhash64(F.col("host")).alias("host_hash"),
+                salt.cast("int").alias("salt"),
+                "depth",
+                (F.lit(0.0) - F.lit(cfg.priority_decay) * F.col("depth")).alias(
+                    "priority"
+                ),
+                "parent",
+                F.lit(round_no + 1).alias("round"),
+            )
+            frontier = self._write(
+                carry.unionByName(survivors), round_no, "frontier_next"
+            )
+            self._manifest(
+                round_no,
+                {
+                    "round": round_no,
+                    "visited_rounds": visited_rounds,
+                    "sitemap_ids": sitemap_ids,
+                },
+            )
+            round_no += 1
+
+        visited = self._read_rounds("visited", visited_rounds)
+        edges = self._read_rounds("edges", visited_rounds)
+        lineage = self._read_rounds("lineage", visited_rounds)
+        empty = self.spark.createDataFrame([], FRONTIER_SCHEMA)
+        if visited is None:  # nothing was ever crawlable
+            visited = empty.select("sitemap_id", "url", "host", "depth", "round")
+            edges = empty.select(
+                "sitemap_id", F.col("url").alias("src"),
+                F.col("url").alias("dst"), "depth", "round",
+            )
+            lineage = None
+        return CrawlResult(
+            sitemap_ids=sitemap_ids,
+            rounds=round_no,
+            visited=visited,
+            edges=edges,
+            lineage=lineage,
+            checkpoint_dir=self._dir,
+        )

@@ -1,0 +1,149 @@
+"""Cross-round Bloom-filter URL-seen set.
+
+The reference's seen set is one in-memory Go map guarded by a RWMutex
+(`sitemap.go:18-53`); at a 10^10-URL frontier the exact set no longer
+fits one node, so per the north_rule the engine keeps:
+
+* a **Bloom filter** built per partition and OR-merged via
+  ``treeAggregate`` (numpy bitset; hashes derived JVM-side with
+  ``xxhash64`` so Python only ever sees int64 columns, never URLs);
+* the **exact** ``visited`` table, against which every
+  maybe-seen candidate is confirmed with a left-anti join.
+
+The bloom is strictly advisory: a positive means "must confirm via
+anti-join", a negative means "provably unseen, skip the join". False
+positives therefore cost a join probe, never a lost URL; false
+negatives cannot happen (no deletions). The anti-join input shrinks by
+the true-negative rate — at scale that is the difference between
+shuffling the whole candidate set against a 10^10-row table and
+shuffling only the tiny maybe-seen sliver.
+
+Serialized size is m/8 bytes; the driver broadcasts it once per round.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["BloomFilter", "url_hash_col", "build_bloom", "split_by_bloom"]
+
+_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def url_hash_col(sitemap_id: Column, url: Column) -> Column:
+    """JVM-side 64-bit key hash — keeps raw URLs out of Python."""
+    return F.xxhash64(sitemap_id, url)
+
+
+class BloomFilter:
+    """Fixed-size Bloom filter over int64 keys, numpy-vectorized."""
+
+    def __init__(self, m_bits: int, k: int, words: np.ndarray | None = None):
+        assert m_bits % 64 == 0
+        self.m_bits = m_bits
+        self.k = k
+        self.words = (
+            words
+            if words is not None
+            else np.zeros(m_bits // 64, dtype=np.uint64)
+        )
+
+    @staticmethod
+    def sized_for(n_items: int, bits_per_item: int = 16) -> "BloomFilter":
+        m = 1 << max(10, int(np.ceil(np.log2(max(1, n_items) * bits_per_item))))
+        k = max(2, min(8, int(round(0.693 * bits_per_item))))
+        return BloomFilter(m, k)
+
+    def _positions(self, hashes: np.ndarray) -> np.ndarray:
+        """(k, n) bit positions via double hashing g_i = h1 + i*h2."""
+        h = hashes.astype(np.uint64)
+        h1 = h
+        h2 = ((h >> np.uint64(33)) ^ (h * np.uint64(0xFF51AFD7ED558CCD))) | np.uint64(1)
+        idx = np.arange(self.k, dtype=np.uint64)[:, None]
+        return ((h1[None, :] + idx * h2[None, :]) & _MASK) % np.uint64(self.m_bits)
+
+    def add_many(self, hashes: np.ndarray) -> None:
+        if len(hashes) == 0:
+            return
+        pos = self._positions(hashes).ravel()
+        np.bitwise_or.at(
+            self.words, (pos >> np.uint64(6)).astype(np.int64),
+            np.uint64(1) << (pos & np.uint64(63)),
+        )
+
+    def contains_many(self, hashes: np.ndarray) -> np.ndarray:
+        if len(hashes) == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions(hashes)
+        bits = (
+            self.words[(pos >> np.uint64(6)).astype(np.int64)]
+            >> (pos & np.uint64(63))
+        ) & np.uint64(1)
+        return bits.all(axis=0).astype(bool)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        assert self.m_bits == other.m_bits and self.k == other.k
+        return BloomFilter(self.m_bits, self.k, self.words | other.words)
+
+
+def build_bloom(
+    df: DataFrame, hash_column: str, m_bits: int | None = None, k: int = 6,
+    expected_items: int | None = None,
+) -> BloomFilter:
+    """Per-partition build + ``treeAggregate`` OR-merge of the seen set.
+
+    ``df`` should already be projected to the single int64 hash column —
+    only 8 bytes/row ever cross into Python.
+    """
+    if m_bits is None:
+        proto = BloomFilter.sized_for(expected_items or 1_000_000)
+        m_bits, k = proto.m_bits, proto.k
+
+    def comb_op(a: BloomFilter, b: BloomFilter) -> BloomFilter:
+        return a.merge(b)
+
+    # Build whole partitions at once (vectorized) and tree-merge the
+    # per-partition filters: one numpy bitset per partition, OR'd up a
+    # tree so the driver never receives more than ~2·depth filters.
+    def build_partition(it):
+        bf = BloomFilter(m_bits, k)
+        chunk = []
+        for row in it:
+            chunk.append(row[0])
+            if len(chunk) >= 65536:
+                bf.add_many(np.array(chunk, dtype=np.int64))
+                chunk = []
+        if chunk:
+            bf.add_many(np.array(chunk, dtype=np.int64))
+        yield bf
+
+    rdd = df.select(hash_column).rdd.mapPartitions(build_partition)
+    zero = BloomFilter(m_bits, k)
+    return rdd.treeAggregate(zero, comb_op, comb_op, depth=2)
+
+
+def split_by_bloom(
+    candidates: DataFrame, hash_column: str, bloom: BloomFilter
+) -> tuple[DataFrame, DataFrame]:
+    """Split candidates into (provably_unseen, maybe_seen).
+
+    Only ``maybe_seen`` needs the exact anti-join against ``visited``.
+    """
+    spark = candidates.sparkSession
+    bc = spark.sparkContext.broadcast((bloom.m_bits, bloom.k, bloom.words))
+
+    @F.pandas_udf(T.BooleanType())
+    def maybe_seen_udf(hashes: pd.Series) -> pd.Series:
+        m, kk, words = bc.value
+        bf = BloomFilter(m, kk, words)
+        return pd.Series(bf.contains_many(hashes.to_numpy(dtype=np.int64)))
+
+    flagged = candidates.withColumn("_maybe_seen", maybe_seen_udf(F.col(hash_column)))
+    return (
+        flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen"),
+        flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen"),
+    )
