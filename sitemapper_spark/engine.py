@@ -255,8 +255,10 @@ class CrawlEngine:
             dequeued, carry = dequeue_per_host(
                 frontier, cfg.per_host_budget, self.robots
             )
-            dequeued = self._write(dequeued, round_no, "dequeued")
-            carry = self._write(carry, round_no, "carry")
+            # intra-round reuse only — resume needs just the parquet
+            # artifacts (visited/edges/lineage/frontier_next)
+            dequeued = dequeued.persist()
+            carry = carry.persist()
 
             # 2) mark visited BEFORE fetch (F5, `crawler.go:173`)
             visited_new = self._write(
@@ -300,7 +302,7 @@ class CrawlEngine:
                         F.col("_raw_links"), F.col("root"), F.col("final_url")
                     ),
                 ).otherwise(F.array().cast("array<string>")),
-            )
+            ).persist()  # reused by edges + lineage; fetch/UDF run once
 
             # 5) edges (F9) — duplicates collapse at aggregation time,
             #    like UpdateURLWithLinks' set-union (`sitemap.go:56-66`)
@@ -368,7 +370,7 @@ class CrawlEngine:
             candidates = candidates.withColumn(
                 "_h", url_hash_col(F.col("sitemap_id"), F.col("url"))
             )
-            visited_count = visited.count()
+            visited_count = visited.count() if cfg.use_bloom else 0
             if cfg.use_bloom and visited_count >= cfg.bloom_min_visited:
                 vh = visited.select(
                     url_hash_col(F.col("sitemap_id"), F.col("url")).alias("_h")
@@ -396,13 +398,17 @@ class CrawlEngine:
             ).drop("_h")
 
             # 10) next frontier = carry-over ∪ survivors, salted where hot
-            hot_hosts = [
-                r["host"]
-                for r in survivors.groupBy("host")
-                .count()
-                .filter(F.col("count") > cfg.hot_host_threshold)
-                .collect()
-            ]
+            hot_hosts = (
+                [
+                    r["host"]
+                    for r in survivors.groupBy("host")
+                    .count()
+                    .filter(F.col("count") > cfg.hot_host_threshold)
+                    .collect()
+                ]
+                if cfg.hot_host_threshold is not None
+                else []
+            )
             salt = (
                 F.when(
                     F.col("host").isin(hot_hosts),
@@ -428,6 +434,8 @@ class CrawlEngine:
             frontier = self._write(
                 carry.unionByName(survivors), round_no, "frontier_next"
             )
+            for df in (dequeued, carry, cleaned):
+                df.unpersist()
             self._manifest(
                 round_no,
                 {

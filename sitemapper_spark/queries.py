@@ -1,0 +1,625 @@
+"""Driver-contract query library: each crawl-pipeline operator from
+SURVEY.md §2 expressed relationally on the driver's TPC-H-ish parquet,
+paired with ANSI-SQL oracles DuckDB can run on the same tables, plus the
+training-data-pipeline operators (dedup / similarity / text analysis /
+multimodal) over ``documents`` and ``embeddings``.
+
+Conventions (driver compare = row-count + schema + order-insensitive
+value hash with columns sorted by name):
+
+* every computed column is aliased identically in Spark and SQL;
+* doubles are rounded before returning;
+* timestamps are formatted to strings;
+* arrays are joined to strings (Spark array vs DuckDB list hash
+  representations differ).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Crawl-operator analogs (SURVEY.md §2.3) on the TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+def q_seed_scan_lower(spark, sf_dir):
+    """F1 seed ingestion: projection + lower() (`sitemapper.go:35`)."""
+    return _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("seed_id"),
+        F.lower(F.col("c_name")).alias("url"),
+    )
+
+
+SQL_SEED_SCAN_LOWER = """
+SELECT c_custkey AS seed_id, lower(c_name) AS url FROM customer
+"""
+
+
+def q_depth_cutoff_filter(spark, sf_dir):
+    """F2 depth gate: pushed-down predicate (`crawler.go:93`)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") < 50000)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+SQL_DEPTH_CUTOFF_FILTER = """
+SELECT o_orderkey, round(o_totalprice, 2) AS price
+FROM orders WHERE o_totalprice < 50000
+"""
+
+
+def q_frontier_topk_per_host(spark, sf_dir):
+    """F3 priority dequeue: top-2 per host via stable-keyed window."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .select(
+            F.col("o_custkey").alias("host"),
+            F.col("o_orderkey").alias("url_id"),
+            F.col("rk"),
+        )
+    )
+
+
+SQL_FRONTIER_TOPK_PER_HOST = """
+SELECT host, url_id, rk FROM (
+  SELECT o_custkey AS host, o_orderkey AS url_id,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders
+) WHERE rk <= 2
+"""
+
+
+def q_seen_anti_join(spark, sf_dir):
+    """F4 visited-set dedup: left-anti join (`crawler.go:169-171`)."""
+    customer = _t(spark, sf_dir, "customer")
+    seen = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
+    return customer.join(
+        seen, customer["c_custkey"] == seen["o_custkey"], "left_anti"
+    ).select(F.col("c_custkey").alias("unseen_id"), F.col("c_name").alias("name"))
+
+
+SQL_SEEN_ANTI_JOIN = """
+SELECT c_custkey AS unseen_id, c_name AS name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 150000)
+"""
+
+
+def q_first_wins_dedup(spark, sf_dir):
+    """F4 determinized first-wins: min-(depth,parent) pick per URL."""
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.asc("l_quantity"), F.asc("l_linenumber")
+    )
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("l_orderkey").alias("url_id"),
+            F.col("l_linenumber").alias("winner_line"),
+            F.round("l_quantity", 2).alias("qty"),
+        )
+    )
+
+
+SQL_FIRST_WINS_DEDUP = """
+SELECT l_orderkey AS url_id, l_linenumber AS winner_line,
+       round(l_quantity, 2) AS qty
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY l_orderkey
+                               ORDER BY l_quantity ASC, l_linenumber ASC) AS rn
+  FROM lineitem
+) WHERE rn = 1
+"""
+
+
+def q_mark_visited_union(spark, sf_dir):
+    """F5 frontier accumulation: UNION (distinct) of two sources."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_name").alias("url"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_name").alias("url"))
+    return c.unionByName(s).distinct()
+
+
+SQL_MARK_VISITED_UNION = """
+SELECT c_name AS url FROM customer UNION SELECT s_name AS url FROM supplier
+"""
+
+
+def q_fetch_left_join(spark, sf_dir):
+    """F6 fetch = left join vs corpus; null right side = fetch error."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    return orders.join(
+        customer, orders["o_custkey"] == customer["c_custkey"], "left"
+    ).select(
+        F.col("o_orderkey").alias("url_id"),
+        F.coalesce(F.col("c_name"), F.lit("FETCH_ERROR")).alias("page"),
+    )
+
+
+SQL_FETCH_LEFT_JOIN = """
+SELECT o_orderkey AS url_id, coalesce(c_name, 'FETCH_ERROR') AS page
+FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 0) c
+  ON o_custkey = c_custkey
+"""
+
+
+def q_extract_explode(spark, sf_dir):
+    """F7 link extraction: explode the per-page link array."""
+    return (
+        _t(spark, sf_dir, "part")
+        .select(
+            F.col("p_partkey").alias("page_id"),
+            F.explode(F.split(F.col("p_type"), " ")).alias("link"),
+        )
+    )
+
+
+SQL_EXTRACT_EXPLODE = """
+SELECT p_partkey AS page_id, unnest(string_split(p_type, ' ')) AS link
+FROM part
+"""
+
+
+def q_adjacency_collect(spark, sf_dir):
+    """F9/F11 adjacency: sorted distinct link set per source, as string
+    (`sitemap.go:91-104` sorts each Links array ascending)."""
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        supplier.join(nation, supplier["s_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.array_join(F.array_sort(F.collect_set("s_name")), ",").alias("links"))
+        .select(F.col("n_name").alias("src"), "links")
+    )
+
+
+SQL_ADJACENCY_COLLECT = """
+SELECT n_name AS src,
+       array_to_string(list_sort(list(DISTINCT s_name)), ',') AS links
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_robots_semi_join(spark, sf_dir):
+    """Robots allow-list gating: broadcast left-semi join."""
+    orders = _t(spark, sf_dir, "orders")
+    allowed = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    return orders.join(
+        F.broadcast(allowed),
+        orders["o_custkey"] == allowed["c_custkey"],
+        "left_semi",
+    ).select(F.col("o_orderkey").alias("url_id"), F.col("o_custkey").alias("host"))
+
+
+SQL_ROBOTS_SEMI_JOIN = """
+SELECT o_orderkey AS url_id, o_custkey AS host FROM orders
+WHERE EXISTS (SELECT 1 FROM customer
+              WHERE c_custkey = o_custkey AND c_acctbal > 5000)
+"""
+
+
+def q_politeness_budget(spark, sf_dir):
+    """F10 budget conservation: after top-3 dequeue, no host exceeds 3."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .groupBy(F.col("o_custkey").alias("host"))
+        .agg(F.count("*").alias("dequeued"))
+    )
+
+
+SQL_POLITENESS_BUDGET = """
+SELECT host, count(*) AS dequeued FROM (
+  SELECT o_custkey AS host,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders
+) WHERE rk <= 3 GROUP BY host
+"""
+
+
+def q_lineage_metrics(spark, sf_dir):
+    """F12 per-round metrics: counts + sums per status group."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("status"))
+        .agg(
+            F.count("*").alias("jobs"),
+            F.round(F.sum("o_totalprice"), 1).alias("total"),
+        )
+    )
+
+
+SQL_LINEAGE_METRICS = """
+SELECT o_orderpriority AS status, count(*) AS jobs,
+       round(sum(o_totalprice), 1) AS total
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_distinct_count(spark, sf_dir):
+    """Global distinct (seen-set cardinality)."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .agg(F.countDistinct("c_mktsegment").alias("n_segments"),
+             F.countDistinct("c_nationkey").alias("n_nations"))
+    )
+
+
+SQL_DISTINCT_COUNT = """
+SELECT count(DISTINCT c_mktsegment) AS n_segments,
+       count(DISTINCT c_nationkey) AS n_nations
+FROM customer
+"""
+
+
+def q_sort_limit_topk(spark, sf_dir):
+    """Global top-k with stable tie-break (F11 output ordering)."""
+    return (
+        _t(spark, sf_dir, "part")
+        .orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+        .limit(10)
+        .select("p_partkey", F.round("p_retailprice", 2).alias("price"))
+    )
+
+
+SQL_SORT_LIMIT_TOPK = """
+SELECT p_partkey, round(p_retailprice, 2) AS price FROM part
+ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 10
+"""
+
+
+def q_frontier_expand_round(spark, sf_dir):
+    """One BFS round relationally: frontier(join)→candidates(distinct)
+    →anti-join visited — the D2/D5 pipeline on TPC-H tables."""
+    frontier = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders")
+    visited = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    candidates = (
+        orders.join(
+            frontier, orders["o_custkey"] == frontier["c_custkey"], "left_semi"
+        )
+        .select("o_orderkey")
+        .distinct()
+    )
+    return candidates.join(visited, "o_orderkey", "left_anti").select(
+        F.col("o_orderkey").alias("next_url")
+    )
+
+
+SQL_FRONTIER_EXPAND_ROUND = """
+SELECT o_orderkey AS next_url FROM (
+  SELECT DISTINCT o_orderkey FROM orders
+  WHERE EXISTS (SELECT 1 FROM customer
+                WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+) c
+WHERE NOT EXISTS (SELECT 1 FROM orders o2
+                  WHERE o2.o_orderkey = c.o_orderkey
+                    AND o2.o_orderstatus = 'F')
+"""
+
+
+def q_events_hourly(spark, sf_dir):
+    """Event-stream style rollup: per type per hour counts (lineage ts)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type"),
+            F.date_format(F.date_trunc("hour", F.col("ts")),
+                          "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v"))
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       count(*) AS n, round(sum(value), 2) AS v
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 shape — the bench headline aggregation."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 1).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 1).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 1
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 1) AS sum_qty,
+       round(sum(l_extendedprice), 1) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 1) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3_like(spark, sf_dir):
+    """Join-heavy revenue top-10 (join strategy exercise)."""
+    customer = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 1
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+        .select(F.col("o_orderkey").alias("url_id"), "revenue")
+    )
+
+
+SQL_TPCH_Q3_LIKE = """
+SELECT o_orderkey AS url_id,
+       round(sum(l_extendedprice * (1 - l_discount)), 1) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey ORDER BY revenue DESC, url_id ASC LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data-pipeline operators over documents / embeddings
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-group on md5(text), keep min doc_id."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy(F.md5(F.col("text")).alias("fp"))
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies"))
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_dedup_normalized(spark, sf_dir):
+    """Near-exact dedup: whitespace/case-normalized fingerprint."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy(F.md5(norm).alias("fp"))
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies"))
+    )
+
+
+SQL_DEDUP_NORMALIZED = """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+       min(doc_id) AS keeper, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def q_token_count(spark, sf_dir):
+    """Whitespace tokenization: per-doc token count."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+
+
+SQL_TOKEN_COUNT = """
+SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+FROM documents
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality scoring: length/token/punctuation features per doc."""
+    text = F.col("text")
+    n_tokens = F.size(F.split(F.trim(text), r"\s+"))
+    n_chars = F.length(text)
+    n_periods = n_chars - F.length(F.regexp_replace(text, r"\.", ""))
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_periods.alias("n_periods"),
+        F.round(n_chars / n_tokens, 2).alias("avg_token_len"),
+    )
+
+
+SQL_TEXT_QUALITY = """
+SELECT doc_id, length(text) AS n_chars,
+       len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+       length(text) - length(regexp_replace(text, '\\.', '', 'g')) AS n_periods,
+       round(length(text) / len(regexp_split_to_array(trim(text), '\\s+')), 2)
+         AS avg_token_len
+FROM documents
+"""
+
+
+def q_lang_id_heuristic(spark, sf_dir):
+    """Language ID heuristic: English stopword-hit classification."""
+    t = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    hits = sum(
+        (F.length(t) - F.length(F.regexp_replace(t, rf" {w} ", "|")))
+        / (len(w) + 1)
+        for w in ["the", "and", "of"]
+    ).cast("long")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(hits >= 2, F.lit("en")).otherwise(F.lit("other")).alias("lang_guess"),
+    )
+
+
+SQL_LANG_ID_HEURISTIC = """
+SELECT doc_id,
+  CASE WHEN CAST(
+      (length(t) - length(regexp_replace(t, ' the ', '|', 'g'))) / 4
+    + (length(t) - length(regexp_replace(t, ' and ', '|', 'g'))) / 4
+    + (length(t) - length(regexp_replace(t, ' of ', '|', 'g'))) / 3
+    AS BIGINT) >= 2
+  THEN 'en' ELSE 'other' END AS lang_guess
+FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents)
+"""
+
+
+def q_embedding_norms(spark, sf_dir):
+    """Vector plumbing: sequential-fold L2 norm per embedding."""
+    emb = F.col("embedding").cast("array<double>")
+    sumsq = F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x * x)
+    return _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.round(F.sqrt(sumsq), 4).alias("l2_norm"), "label"
+    )
+
+
+SQL_EMBEDDING_NORMS = """
+SELECT vec_id, round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))), 4)
+  AS l2_norm, label
+FROM embeddings
+"""
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 vs the vec_id=0 query vector — the
+    exact ANN baseline (IVF/LSH variants are the scale path)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    joined = e.crossJoin(F.broadcast(qvec))
+    dot = F.aggregate(
+        F.zip_with("v", "qv", lambda a, b: a * b), F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nv = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    nq = F.sqrt(F.aggregate("qv", F.lit(0.0), lambda acc, x: acc + x * x))
+    return (
+        joined.filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id", F.round(dot / (nv * nq), 4).alias("cos_sim")
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+SQL_ANN_COSINE_TOPK = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(embedding::DOUBLE[], qv)
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product(qv, qv))), 4) AS cos_sim
+FROM embeddings, q WHERE vec_id <> 0
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+_ORACLE: dict[str, str] = {
+    "seed_scan_lower": SQL_SEED_SCAN_LOWER,
+    "depth_cutoff_filter": SQL_DEPTH_CUTOFF_FILTER,
+    "frontier_topk_per_host": SQL_FRONTIER_TOPK_PER_HOST,
+    "seen_anti_join": SQL_SEEN_ANTI_JOIN,
+    "first_wins_dedup": SQL_FIRST_WINS_DEDUP,
+    "mark_visited_union": SQL_MARK_VISITED_UNION,
+    "fetch_left_join": SQL_FETCH_LEFT_JOIN,
+    "extract_explode": SQL_EXTRACT_EXPLODE,
+    "adjacency_collect": SQL_ADJACENCY_COLLECT,
+    "robots_semi_join": SQL_ROBOTS_SEMI_JOIN,
+    "politeness_budget": SQL_POLITENESS_BUDGET,
+    "lineage_metrics": SQL_LINEAGE_METRICS,
+    "distinct_count": SQL_DISTINCT_COUNT,
+    "sort_limit_topk": SQL_SORT_LIMIT_TOPK,
+    "frontier_expand_round": SQL_FRONTIER_EXPAND_ROUND,
+    "events_hourly": SQL_EVENTS_HOURLY,
+    "tpch_q1": SQL_TPCH_Q1,
+    "tpch_q3_like": SQL_TPCH_Q3_LIKE,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_normalized": SQL_DEDUP_NORMALIZED,
+    "token_count": SQL_TOKEN_COUNT,
+    "text_quality": SQL_TEXT_QUALITY,
+    "lang_id_heuristic": SQL_LANG_ID_HEURISTIC,
+    "embedding_norms": SQL_EMBEDDING_NORMS,
+    "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+}
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "seed_scan_lower": q_seed_scan_lower,
+    "depth_cutoff_filter": q_depth_cutoff_filter,
+    "frontier_topk_per_host": q_frontier_topk_per_host,
+    "seen_anti_join": q_seen_anti_join,
+    "first_wins_dedup": q_first_wins_dedup,
+    "mark_visited_union": q_mark_visited_union,
+    "fetch_left_join": q_fetch_left_join,
+    "extract_explode": q_extract_explode,
+    "adjacency_collect": q_adjacency_collect,
+    "robots_semi_join": q_robots_semi_join,
+    "politeness_budget": q_politeness_budget,
+    "lineage_metrics": q_lineage_metrics,
+    "distinct_count": q_distinct_count,
+    "sort_limit_topk": q_sort_limit_topk,
+    "frontier_expand_round": q_frontier_expand_round,
+    "events_hourly": q_events_hourly,
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3_like": q_tpch_q3_like,
+    "dedup_exact": q_dedup_exact,
+    "dedup_normalized": q_dedup_normalized,
+    "token_count": q_token_count,
+    "text_quality": q_text_quality,
+    "lang_id_heuristic": q_lang_id_heuristic,
+    "embedding_norms": q_embedding_norms,
+    "ann_cosine_topk": q_ann_cosine_topk,
+}
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(_QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    return dict(_ORACLE)
