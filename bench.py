@@ -1,0 +1,149 @@
+"""Benchmark harness — one JSON line on stdout.
+
+Headline: URLs fetched+deduped per second for a multi-host BFS crawl
+over a synthetic Zipf-skewed image+caption corpus (the BASELINE.json
+metric), plus per-query wall times for the relational operator suite at
+$SPARK_GRAFT_SF_DIR. Corpus generation is deterministic and cached in
+/tmp (setup, not timed).
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_PAGES (override corpus
+size). Run `python tools/bench_scaling.py` for the N-vs-4N-parallelism
+scaling-efficiency protocol (results in BENCH.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "tpch_q1",
+    "tpch_q3_like",
+    "frontier_topk_per_host",
+    "seen_anti_join",
+    "adjacency_collect",
+    "extract_explode",
+    "events_hourly",
+    "dedup_exact",
+    "dedup_normalized",
+    "token_count",
+    "ann_cosine_topk",
+]
+
+
+def corpus_path(n_pages: int, n_hosts: int) -> str:
+    return f"/tmp/sitemapper_bench_corpus_p{n_pages}_h{n_hosts}"
+
+
+def ensure_corpus(spark, n_pages: int, n_hosts: int) -> str:
+    from sitemapper_spark.corpus import synth_corpus
+
+    path = corpus_path(n_pages, n_hosts)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        shutil.rmtree(path, ignore_errors=True)
+        df = synth_corpus(
+            spark, n_pages=n_pages, n_hosts=n_hosts, links_per_page=8,
+            cross_host_fraction=0.15, error_fraction=0.02, with_images=True,
+            img_w=16, img_h=12,
+        )
+        df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def run_crawl_bench(spark, corpus_dir: str, n_hosts: int, tag: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from sitemapper_spark.engine import CrawlConfig, CrawlEngine
+
+    corpus = spark.read.parquet(corpus_dir)
+    seeds = [
+        (r["url"], f"bench-{r['host']}", 6, 0.0)
+        for r in (
+            corpus.groupBy("host")
+            .agg(F.min("url").alias("url"))
+            .collect()
+        )
+    ]
+    ckpt = f"/tmp/sitemapper_bench_ckpt_{tag}"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    cfg = CrawlConfig(
+        max_depth=6,
+        per_host_budget=50_000,
+        use_bloom=True,
+        bloom_min_visited=10_000,
+        checkpoint_dir=ckpt,
+        hot_host_threshold=20_000,
+        salt_buckets=8,
+    )
+    engine = CrawlEngine(spark, corpus, cfg)
+    t0 = time.perf_counter()
+    result = engine.run(seeds)
+    visited_n = result.visited.count()
+    edges_n = result.edges.count()
+    elapsed = time.perf_counter() - t0
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return {
+        "visited": visited_n,
+        "edges": edges_n,
+        "rounds": result.rounds,
+        "sec": round(elapsed, 3),
+        "urls_per_sec": round(visited_n / elapsed, 1),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from sitemapper_spark import queries as qlib
+    from sitemapper_spark.session import get_spark
+
+    spark = get_spark(
+        "sitemapper_bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+
+    # scale the crawl corpus with the sf of the relational tables
+    lineitem_rows = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    n_pages = int(
+        os.environ.get("SPARK_GRAFT_BENCH_PAGES", max(20_000, lineitem_rows // 3))
+    )
+    n_hosts = 64
+    corpus_dir = ensure_corpus(spark, n_pages, n_hosts)
+
+    crawl = run_crawl_bench(spark, corpus_dir, n_hosts, tag=f"c{cpus}")
+
+    qtimes: dict[str, float] = {}
+    registry = qlib.all_queries()
+    for name in BENCH_QUERIES:
+        fn = registry[name]
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        qtimes[name] = round(time.perf_counter() - t0, 3)
+    qtimes["crawl_bfs"] = crawl["sec"]
+
+    total = round(sum(qtimes.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "bench_suite_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": qtimes,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "crawl": crawl,
+                "corpus_pages": n_pages,
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

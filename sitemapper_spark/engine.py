@@ -42,14 +42,16 @@ import os
 import shutil
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window
+import time
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.udfs import clean_links_udf, extract_links_udf
 from .operators.bloom import BloomFilter, build_bloom, split_by_bloom, url_hash_col
 from .operators.politeness import dequeue_per_host
 from .operators.robots import apply_robots_gate
-from .schemas import FRONTIER_SCHEMA, SEEDS_SCHEMA
+from .schemas import FRONTIER_SCHEMA, LINEAGE_SCHEMA, SEEDS_SCHEMA
 
 # JVM-side host extraction (keeps port, unlike parse_url's HOST part,
 # for parity with Go's URL.Host — `crawler.go:247`).
@@ -67,12 +69,17 @@ class CrawlConfig:
     use_html_extraction: bool = False  # parse html vs pre-materialized out_links
     use_bloom: bool = True
     bloom_min_visited: int = 4096  # below this the exact anti-join is cheaper
+    bloom_expected_urls: int = 2_000_000  # sizes the cumulative filter once
+    broadcast_fetch_max: int | None = 2_000_000  # dequeued rows small enough to
+    # semi-join+broadcast the fetch (skips shuffling the whole corpus);
+    # None disables → plain shuffle join (the >memory-frontier path)
     salt_buckets: int = 8
     hot_host_threshold: int = 100_000  # frontier rows per host before salting
     max_rounds: int = 1000
     checkpoint_dir: str | None = None  # None → engine-managed temp dir
     num_partitions: int | None = None
     priority_decay: float = 0.0  # candidate priority = parent − decay
+    verbose: bool = False
 
 
 @dataclass
@@ -183,6 +190,17 @@ class CrawlEngine:
         return self.spark.read.parquet(*paths)
 
     # ------------------------------------------------------------------
+    def _absorb_into_bloom(self, visited_slice: DataFrame) -> None:
+        """OR-merge a visited slice's URL hashes into the cumulative
+        driver-held Bloom filter (per-partition build + treeAggregate,
+        `operators/bloom.py`)."""
+        vh = visited_slice.select(
+            url_hash_col(F.col("sitemap_id"), F.col("url")).alias("_h")
+        )
+        delta = build_bloom(vh, "_h", m_bits=self._bloom.m_bits, k=self._bloom.k)
+        self._bloom = self._bloom.merge(delta)
+
+    # ------------------------------------------------------------------
     def seeds_to_frontier(self, seeds: DataFrame) -> DataFrame:
         """Seed ingestion (F1): seeds lowercased — discovered links are
         NOT (`cmd/standalone/sitemapper.go:35`); depth 0, parent=self."""
@@ -223,15 +241,38 @@ class CrawlEngine:
         os.makedirs(self._dir, exist_ok=True)
 
         npart = cfg.num_partitions or spark.sparkContext.defaultParallelism
-        seeds_meta = seeds.select("sitemap_id", "max_depth").distinct()
-        sitemap_ids = [r["sitemap_id"] for r in seeds_meta.collect()]
-        max_depth_map = F.broadcast(seeds_meta)
+        # run metadata is tiny and constant: collect ONCE, re-create as
+        # local DataFrames so no per-round job re-derives them
+        meta_rows = seeds.select(
+            "sitemap_id", "max_depth", F.lower(F.col("url")).alias("root")
+        ).distinct().collect()
+        sitemap_ids = [r["sitemap_id"] for r in meta_rows]
+        max_depth_map = F.broadcast(
+            spark.createDataFrame(
+                [(r["sitemap_id"], r["max_depth"]) for r in meta_rows],
+                "sitemap_id string, max_depth int",
+            )
+        )
+        roots_map = F.broadcast(
+            spark.createDataFrame(
+                [(r["sitemap_id"], r["root"]) for r in meta_rows],
+                "sitemap_id string, root string",
+            )
+        )
+
+        self._bloom = BloomFilter.sized_for(cfg.bloom_expected_urls)
+        self._visited_total = 0
 
         done = self._complete_rounds()
         if resume and done:
             start_round = done[-1] + 1
             frontier = self._read_rounds("frontier_next", [done[-1]])
             visited_rounds = done
+            prior = self._read_rounds("visited", visited_rounds)
+            if prior is not None:
+                self._visited_total = prior.count()
+                if cfg.use_bloom:
+                    self._absorb_into_bloom(prior)
         else:
             start_round = 0
             # Depth gate at ingestion (F2): a seed with max_depth=0 is
@@ -246,6 +287,7 @@ class CrawlEngine:
 
         round_no = start_round
         while round_no < cfg.max_rounds:
+            t_round = time.perf_counter()
             if frontier.isEmpty():
                 break
             frontier = frontier.repartition(npart, "host_hash", "salt")
@@ -271,14 +313,34 @@ class CrawlEngine:
             )
             visited_rounds = visited_rounds + [round_no]
             visited = self._read_rounds("visited", visited_rounds)
+            if cfg.use_bloom:
+                # incremental: only THIS round's URLs are hashed and
+                # tree-merged; the cumulative filter lives on the driver
+                self._absorb_into_bloom(visited_new)
 
             # 3) fetch = corpus join (F6); null right side / status!=200
-            #    = fetch error → no links, URL still visited
-            fetched = dequeued.join(
-                self.fetch_side,
-                dequeued["url"] == self.fetch_side["_corpus_url"],
-                "left",
-            )
+            #    = fetch error → no links, URL still visited.
+            #    Fast path: broadcast-semi-join the corpus down to the
+            #    dequeued slice first — the corpus only streams through a
+            #    scan+filter (never shuffles), and the per-round fetch
+            #    join broadcasts the small matched slice. At a 10^10-URL
+            #    frontier where dequeued no longer fits a broadcast,
+            #    disable via broadcast_fetch_max=None and bucket the
+            #    corpus by url instead.
+            if cfg.broadcast_fetch_max is not None:
+                keys = F.broadcast(dequeued.select(F.col("url").alias("_corpus_url")))
+                matched = self.fetch_side.join(keys, "_corpus_url", "left_semi")
+                fetched = dequeued.join(
+                    F.broadcast(matched),
+                    dequeued["url"] == matched["_corpus_url"],
+                    "left",
+                )
+            else:
+                fetched = dequeued.join(
+                    self.fetch_side,
+                    dequeued["url"] == self.fetch_side["_corpus_url"],
+                    "left",
+                )
             if cfg.use_html_extraction:
                 raw_links = F.when(
                     (F.col("status") == 200) & F.col("html").isNotNull()
@@ -318,8 +380,10 @@ class CrawlEngine:
                 "edges",
             )
 
-            # 6) lineage/metrics (F12 / crawl_jobs status rows)
-            lineage_new = cleaned.groupBy("sitemap_id", "host").agg(
+            # 6) lineage/metrics (F12 / crawl_jobs status rows) —
+            #    collected once (it is per-host-per-round tiny), reused
+            #    for the visited running count, written driver-side
+            lineage_rows = cleaned.groupBy("sitemap_id", "host").agg(
                 F.count("*").alias("urls_dequeued"),
                 F.count(F.when(F.col("status") == 200, 1)).alias("fetched"),
                 F.count(
@@ -333,8 +397,13 @@ class CrawlEngine:
                 "sitemap_id", "host", "urls_dequeued", "fetched", "errors",
                 F.coalesce("links_found", F.lit(0)).alias("links_found"),
                 F.lit("COMPLETE").alias("status"),
+            ).collect()
+            self._visited_total += sum(r["urls_dequeued"] for r in lineage_rows)
+            self._write(
+                spark.createDataFrame(lineage_rows, LINEAGE_SCHEMA),
+                round_no,
+                "lineage",
             )
-            self._write(lineage_new, round_no, "lineage")
 
             # 7) candidates at depth+1, gated by per-sitemap max_depth
             #    (F2) and robots rules
@@ -349,20 +418,27 @@ class CrawlEngine:
                 .filter(F.col("depth") < F.col("max_depth"))
                 .drop("max_depth")
             )
-            roots = dequeued.select("sitemap_id", "root").distinct()
-            candidates = candidates.join(F.broadcast(roots), "sitemap_id")
+            candidates = candidates.join(roots_map, "sitemap_id")
             candidates = candidates.withColumn("host", _host_col(F.col("url")))
             candidates = apply_robots_gate(candidates, self.robots)
 
             # 8) first-wins dedup inside the round (F4 determinized):
-            #    rank by stable keys only — parallelism-invariant
-            w = Window.partitionBy("sitemap_id", "url").orderBy(
-                F.asc("depth"), F.asc("parent")
-            )
+            #    lexicographic min over stable keys — an aggregation
+            #    (partial+final, map-side combine) instead of a window
+            #    sort; parallelism-invariant. root/host are functionally
+            #    determined by (sitemap_id, url), so any_value is exact.
             candidates = (
-                candidates.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .drop("_rn")
+                candidates.groupBy("sitemap_id", "url")
+                .agg(
+                    F.min(F.struct("depth", "parent")).alias("_m"),
+                    F.first("root").alias("root"),
+                    F.first("host").alias("host"),
+                )
+                .select(
+                    "sitemap_id", "url", "root", "host",
+                    F.col("_m.depth").alias("depth"),
+                    F.col("_m.parent").alias("parent"),
+                )
             )
 
             # 9) seen-set dedup (F4): advisory Bloom pre-filter, exact
@@ -370,15 +446,8 @@ class CrawlEngine:
             candidates = candidates.withColumn(
                 "_h", url_hash_col(F.col("sitemap_id"), F.col("url"))
             )
-            visited_count = visited.count() if cfg.use_bloom else 0
-            if cfg.use_bloom and visited_count >= cfg.bloom_min_visited:
-                vh = visited.select(
-                    url_hash_col(F.col("sitemap_id"), F.col("url")).alias("_h")
-                )
-                bloom = build_bloom(
-                    vh, "_h", expected_items=max(visited_count, 1024)
-                )
-                fresh, maybe_seen = split_by_bloom(candidates, "_h", bloom)
+            if cfg.use_bloom and self._visited_total >= cfg.bloom_min_visited:
+                fresh, maybe_seen = split_by_bloom(candidates, "_h", self._bloom)
                 confirmed = maybe_seen.join(
                     visited.select("sitemap_id", "url"),
                     ["sitemap_id", "url"],
@@ -391,17 +460,17 @@ class CrawlEngine:
                     ["sitemap_id", "url"],
                     "left_anti",
                 )
-            survivors = survivors.join(
+            survivors_base = survivors.join(
                 carry.select("sitemap_id", "url"),
                 ["sitemap_id", "url"],
                 "left_anti",
-            ).drop("_h")
+            ).drop("_h").persist()  # reused: hot-host scan + frontier write
 
             # 10) next frontier = carry-over ∪ survivors, salted where hot
             hot_hosts = (
                 [
                     r["host"]
-                    for r in survivors.groupBy("host")
+                    for r in survivors_base.groupBy("host")
                     .count()
                     .filter(F.col("count") > cfg.hot_host_threshold)
                     .collect()
@@ -417,7 +486,7 @@ class CrawlEngine:
                 if hot_hosts
                 else F.lit(0)
             )
-            survivors = survivors.select(
+            survivors = survivors_base.select(
                 "sitemap_id",
                 "root",
                 "url",
@@ -434,7 +503,7 @@ class CrawlEngine:
             frontier = self._write(
                 carry.unionByName(survivors), round_no, "frontier_next"
             )
-            for df in (dequeued, carry, cleaned):
+            for df in (dequeued, carry, cleaned, survivors_base):
                 df.unpersist()
             self._manifest(
                 round_no,
@@ -444,6 +513,13 @@ class CrawlEngine:
                     "sitemap_ids": sitemap_ids,
                 },
             )
+            if cfg.verbose:
+                print(
+                    f"[crawl] round {round_no}: visited_total="
+                    f"{self._visited_total} "
+                    f"{time.perf_counter() - t_round:.2f}s",
+                    flush=True,
+                )
             round_no += 1
 
         visited = self._read_rounds("visited", visited_rounds)

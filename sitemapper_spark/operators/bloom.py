@@ -106,23 +106,27 @@ def build_bloom(
     def comb_op(a: BloomFilter, b: BloomFilter) -> BloomFilter:
         return a.merge(b)
 
-    # Build whole partitions at once (vectorized) and tree-merge the
-    # per-partition filters: one numpy bitset per partition, OR'd up a
-    # tree so the driver never receives more than ~2·depth filters.
-    def build_partition(it):
-        bf = BloomFilter(m_bits, k)
-        chunk = []
-        for row in it:
-            chunk.append(row[0])
-            if len(chunk) >= 65536:
-                bf.add_many(np.array(chunk, dtype=np.int64))
-                chunk = []
-        if chunk:
-            bf.add_many(np.array(chunk, dtype=np.int64))
-        yield bf
+    # Build whole partitions at once: Arrow batches stream into numpy
+    # (mapInPandas — no per-row pickling), one bitset per partition,
+    # OR-merged up a tree so the driver never holds more than ~2·depth
+    # filters at once.
+    import pandas as pd
 
-    rdd = df.select(hash_column).rdd.mapPartitions(build_partition)
+    def build_partition(batches):
+        bf = BloomFilter(m_bits, k)
+        for pdf in batches:
+            bf.add_many(pdf.iloc[:, 0].to_numpy(dtype=np.int64))
+        yield pd.DataFrame({"words": [bf.words.tobytes()]})
+
+    parts = df.select(hash_column).mapInPandas(
+        build_partition, schema="words binary"
+    )
     zero = BloomFilter(m_bits, k)
+    rdd = parts.rdd.map(
+        lambda row: BloomFilter(
+            m_bits, k, np.frombuffer(bytes(row[0]), dtype=np.uint64).copy()
+        )
+    )
     return rdd.treeAggregate(zero, comb_op, comb_op, depth=2)
 
 

@@ -1,0 +1,255 @@
+"""Document deduplication operators for training-data pipelines.
+
+All variants are Spark-first: tokenization, shingling, MinHash
+permutations, LSH banding, and exact-Jaccard verification are pure
+Catalyst column expressions (whole-stage codegen, zero Python in the
+hot path); only SimHash uses an Arrow-batched pandas UDF (per-bit
+voting needs numpy). Scale notes: the LSH band join shuffles on
+(band_id, band_hash) — tiny keys, heavily combinable; candidate-pair
+verification joins back to shingle sets only for the candidate sliver,
+never all-pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "tokens_col",
+    "shingles_col",
+    "exact_dedup",
+    "minhash_signature_col",
+    "lsh_candidate_pairs",
+    "minhash_near_dup_pairs",
+    "simhash_col",
+    "simhash_near_dup_pairs",
+]
+
+# Mersenne-31 keeps a*h + b < 2^62: no int64 overflow under Spark 4's
+# default ANSI arithmetic (xxhash64 is reduced mod p before multiplying)
+_PRIME = (1 << 31) - 1
+
+
+def tokens_col(text: Column) -> Column:
+    """Lowercased word tokens (JVM regex split, empties removed)."""
+    return F.filter(
+        F.split(F.lower(text), r"[^\p{L}\p{N}]+"), lambda t: t != ""
+    )
+
+
+def shingles_col(tokens: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as strings — pure Catalyst:
+    sequence + slice + concat_ws, no Python."""
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+    )
+    return F.array_distinct(
+        F.when(F.size(tokens) >= n, grams).otherwise(
+            F.array(F.concat_ws(" ", tokens))
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via content hash: one keeper (min id) per group."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("fp"))
+        .agg(
+            F.min(id_col).alias("keeper"),
+            F.count("*").alias("n_copies"),
+            F.array_sort(F.collect_set(id_col)).alias("members"),
+        )
+    )
+
+
+def _perm_params(k: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_i(x) = (a*x + b) mod p."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    a = rng.integers(1, _PRIME - 1, size=k, dtype=np.int64)
+    b = rng.integers(0, _PRIME - 1, size=k, dtype=np.int64)
+    return list(zip(a.tolist(), b.tolist()))
+
+
+def minhash_signature_col(shingles: Column, k: int = 64, seed: int = 42) -> Column:
+    """MinHash signature: k universal-hash permutations over the
+    xxhash64'd shingle set, each reduced with array_min — all JVM-side.
+    """
+    hashes = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_PRIME)))
+
+    def perm(a: int, b: int):
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_PRIME))
+
+    sig = [
+        F.array_min(F.transform(hashes, perm(a, b)))
+        for a, b in _perm_params(k, seed)
+    ]
+    return F.array(*sig)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", sig_col: str = "sig",
+    bands: int = 16, rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH banding: equal band-slices become join keys; pairs that
+    collide in ≥1 band are candidates. Returns distinct (id_a, id_b),
+    id_a < id_b. The band self-join shuffles only (id, band, hash64).
+    """
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at(F.col(sig_col), b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    left = banded.select(
+        F.col(id_col).alias("id_a"), "band_id", "band_hash"
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"), "band_id", "band_hash"
+    )
+    return (
+        left.join(right, ["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_near_dup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    k: int = 64,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline with exact-Jaccard verify.
+
+    candidates come from LSH banding; the verification joins shingle
+    sets back only for candidates and computes true Jaccard with
+    array_intersect/array_union (JVM) — LSH false positives are
+    filtered, so the result equals exact all-pairs Jaccard ≥ threshold
+    restricted to LSH-recalled pairs.
+    """
+    sh = docs.select(
+        F.col(id_col),
+        shingles_col(tokens_col(F.col(text_col)), shingle_n).alias("shingles"),
+    ).persist()
+    sigs = sh.select(
+        id_col, minhash_signature_col(F.col("shingles"), k, seed).alias("sig")
+    )
+    cand = lsh_candidate_pairs(sigs, id_col, "sig", bands, rows_per_band)
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+    return verified
+
+
+def simhash_col(text: Column, seed: int = 42) -> Column:
+    """64-bit SimHash over word tokens (Arrow-batched numpy voting)."""
+
+    @F.pandas_udf(T.LongType())
+    def _simhash(tokens: pd.Series) -> pd.Series:
+        out = np.zeros(len(tokens), dtype=np.int64)
+        for i, toks in enumerate(tokens):
+            if toks is None or len(toks) == 0:
+                continue
+            hs = np.array(
+                [_stable_hash64(t, seed) for t in toks], dtype=np.uint64
+            )
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
+                np.int64
+            )
+            votes = (2 * bits - 1).sum(axis=0)
+            v = 0
+            for j in np.nonzero(votes > 0)[0]:
+                v |= 1 << int(j)
+            out[i] = v - (1 << 64) if v >= (1 << 63) else v  # two's complement
+        return pd.Series(out)
+
+    return _simhash(tokens_col(text))
+
+
+def _stable_hash64(s: str, seed: int) -> int:
+    h = np.uint64(0xCBF29CE484222325) ^ np.uint64(seed)
+    for byte in s.encode("utf-8"):
+        h = np.uint64((int(h) ^ byte) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
+    return int(h)
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """SimHash near-dup via chunk banding + exact verify.
+
+    The 64-bit hash is split into ``max_hamming + 1`` chunks (≤16):
+    by pigeonhole, any pair within the hamming budget shares at least
+    one identical chunk, so banding has PERFECT recall up to
+    ``max_hamming`` ≤ 15; the popcount verify (JVM bit ops) removes
+    band false positives — output == brute-force pairs."""
+    n_chunks = min(16, max_hamming + 1)
+    width = 64 // n_chunks
+    hashed = docs.select(
+        F.col(id_col), simhash_col(F.col(text_col), seed).alias("sh")
+    ).persist()
+    chunk_exprs = []
+    for c in range(n_chunks):
+        w = width if c < n_chunks - 1 else 64 - width * (n_chunks - 1)
+        mask = (1 << w) - 1
+        chunk_exprs.append(
+            F.shiftrightunsigned(F.col("sh"), width * c).bitwiseAND(F.lit(mask))
+        )
+    chunks = hashed.select(
+        id_col, "sh",
+        F.posexplode(F.array(*chunk_exprs)).alias("chunk_id", "chunk"),
+    )
+    left = chunks.select(
+        F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), "chunk_id", "chunk"
+    )
+    right = chunks.select(
+        F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), "chunk_id", "chunk"
+    )
+    cand = (
+        left.join(right, ["chunk_id", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.withColumn("hamming", hamming).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")
