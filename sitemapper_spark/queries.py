@@ -556,6 +556,87 @@ ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
 """
 
 
+def q_ivf_ann_topk(spark, sf_dir):
+    """IVF index with full probe (nprobe = k_clusters) — must equal the
+    brute-force oracle exactly, proving the index loses nothing the
+    pruning doesn't intend to lose."""
+    from .operators.similarity_ops import ivf_assign, ivf_topk, kmeans_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    cents = kmeans_centroids(emb, n_clusters=4, dim=dim, iters=1)
+    indexed = ivf_assign(emb, cents)
+    return ivf_topk(
+        indexed.filter(F.col("vec_id") != 0), cents, qvec, k=10, nprobe=4
+    ).drop("cluster")
+
+
+# full probe ≡ brute force, so the oracle is the same as ann_cosine_topk
+SQL_IVF_ANN_TOPK = SQL_ANN_COSINE_TOPK
+
+
+# --- rows-only entries (non-SQL-expressible; exactness is proven in
+# pytest against brute-force implementations instead) ---------------------
+
+def q_minhash_near_dup(spark, sf_dir):
+    """MinHash+LSH near-dup pairs on documents (exact-Jaccard verified;
+    tests/test_dedup.py proves equality with brute-force pairs)."""
+    from .operators.dedup_ops import minhash_near_dup_pairs
+
+    return minhash_near_dup_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+def q_simhash_docs(spark, sf_dir):
+    """SimHash fingerprints + near-dup pairs count per doc."""
+    from .operators.dedup_ops import simhash_col
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", simhash_col(F.col("text")).alias("simhash")
+    )
+
+
+def q_srp_near_dup(spark, sf_dir):
+    """SRP-LSH embedding near-dup pairs (exact-cosine verified)."""
+    from .operators.similarity_ops import srp_lsh_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    # driver embeddings are near-orthogonal random vectors (max pairwise
+    # cos ≈ 0.51 at sf0.01) — 0.4 yields a small non-empty pair set
+    return srp_lsh_near_dup_pairs(emb, dim=dim, threshold=0.4, n_chunks=16)
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Order-insensitive n-gram document fingerprint."""
+    from .functions.text import fingerprint_col
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint_col(F.col("text")).alias("fp")
+    )
+
+
+def q_multimodal_decode_verify(spark, sf_dir):
+    """Image decode + PSNR/caption invariant over the documents-derived
+    corpus (input_hint contract); returns per-format pass counts."""
+    from .corpus import corpus_from_documents
+    from .operators.multimodal import decode_verify
+
+    pages = corpus_from_documents(spark, sf_dir, with_images=True)
+    return (
+        decode_verify(pages)
+        .groupBy("fmt")
+        .agg(
+            F.count("*").alias("n"),
+            F.count(F.when(F.col("ok"), 1)).alias("n_ok"),
+            F.count(F.when(F.col("caption_ok"), 1)).alias("n_caption_ok"),
+            F.round(F.min("psnr_db"), 1).alias("min_psnr_db"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -586,6 +667,7 @@ _ORACLE: dict[str, str] = {
     "lang_id_heuristic": SQL_LANG_ID_HEURISTIC,
     "embedding_norms": SQL_EMBEDDING_NORMS,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+    "ivf_ann_topk": SQL_IVF_ANN_TOPK,
 }
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -614,6 +696,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id_heuristic": q_lang_id_heuristic,
     "embedding_norms": q_embedding_norms,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "ivf_ann_topk": q_ivf_ann_topk,
+    # rows-only (non-SQL-expressible; exactness proven in pytest)
+    "minhash_near_dup": q_minhash_near_dup,
+    "simhash_docs": q_simhash_docs,
+    "srp_near_dup": q_srp_near_dup,
+    "doc_fingerprint": q_doc_fingerprint,
+    "multimodal_decode_verify": q_multimodal_decode_verify,
 }
 
 
