@@ -40,9 +40,9 @@ from __future__ import annotations
 import json
 import os
 import shutil
-from dataclasses import dataclass
-
+import threading
 import time
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -157,8 +157,14 @@ class CrawlEngine:
         """Materialize a round artifact: truncates plan lineage, makes the
         round restartable, and bounds memory like the reference's
         Cassandra state tables do (`cassandra.go:79-118`)."""
+        t0 = time.perf_counter()
         path = self._ckpt(f"round={round_no:05d}", name)
         df.write.mode("overwrite").parquet(path)
+        if self.config.verbose:
+            print(
+                f"[crawl]   write {name}: {time.perf_counter() - t0:.2f}s",
+                flush=True,
+            )
         return self.spark.read.parquet(path)
 
     def _manifest(self, round_no: int, payload: dict) -> None:
@@ -194,11 +200,17 @@ class CrawlEngine:
         """OR-merge a visited slice's URL hashes into the cumulative
         driver-held Bloom filter (per-partition build + treeAggregate,
         `operators/bloom.py`)."""
+        t0 = time.perf_counter()
         vh = visited_slice.select(
             url_hash_col(F.col("sitemap_id"), F.col("url")).alias("_h")
         )
         delta = build_bloom(vh, "_h", m_bits=self._bloom.m_bits, k=self._bloom.k)
         self._bloom = self._bloom.merge(delta)
+        if self.config.verbose:
+            print(
+                f"[crawl]   bloom absorb: {time.perf_counter() - t0:.2f}s",
+                flush=True,
+            )
 
     # ------------------------------------------------------------------
     def seeds_to_frontier(self, seeds: DataFrame) -> DataFrame:
@@ -313,10 +325,17 @@ class CrawlEngine:
             )
             visited_rounds = visited_rounds + [round_no]
             visited = self._read_rounds("visited", visited_rounds)
+            bloom_thread = None
             if cfg.use_bloom:
                 # incremental: only THIS round's URLs are hashed and
-                # tree-merged; the cumulative filter lives on the driver
-                self._absorb_into_bloom(visited_new)
+                # tree-merged; the cumulative filter lives on the driver.
+                # Runs as a concurrent Spark action — overlaps with the
+                # fetch/extract/edges work below; joined before the
+                # candidate split needs the filter.
+                bloom_thread = threading.Thread(
+                    target=self._absorb_into_bloom, args=(visited_new,)
+                )
+                bloom_thread.start()
 
             # 3) fetch = corpus join (F6); null right side / status!=200
             #    = fetch error → no links, URL still visited.
@@ -446,6 +465,8 @@ class CrawlEngine:
             candidates = candidates.withColumn(
                 "_h", url_hash_col(F.col("sitemap_id"), F.col("url"))
             )
+            if bloom_thread is not None:
+                bloom_thread.join()
             if cfg.use_bloom and self._visited_total >= cfg.bloom_min_visited:
                 fresh, maybe_seen = split_by_bloom(candidates, "_h", self._bloom)
                 confirmed = maybe_seen.join(
@@ -466,18 +487,21 @@ class CrawlEngine:
                 "left_anti",
             ).drop("_h").persist()  # reused: hot-host scan + frontier write
 
-            # 10) next frontier = carry-over ∪ survivors, salted where hot
-            hot_hosts = (
-                [
-                    r["host"]
-                    for r in survivors_base.groupBy("host")
-                    .count()
-                    .filter(F.col("count") > cfg.hot_host_threshold)
-                    .collect()
+            # 10) next frontier = carry-over ∪ survivors, salted where
+            # hot. Heat is read off the (already-collected) lineage
+            # rows — a host that just expanded many pages is about to
+            # produce many candidates; no extra job.
+            hot_hosts: list[str] = []
+            if cfg.hot_host_threshold is not None:
+                per_host: dict[str, int] = {}
+                for r in lineage_rows:
+                    per_host[r["host"]] = (
+                        per_host.get(r["host"], 0) + r["links_found"]
+                    )
+                hot_hosts = [
+                    h for h, n in per_host.items()
+                    if n > cfg.hot_host_threshold
                 ]
-                if cfg.hot_host_threshold is not None
-                else []
-            )
             salt = (
                 F.when(
                     F.col("host").isin(hot_hosts),

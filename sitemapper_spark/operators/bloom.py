@@ -118,9 +118,12 @@ def build_bloom(
             bf.add_many(pdf.iloc[:, 0].to_numpy(dtype=np.int64))
         yield pd.DataFrame({"words": [bf.words.tobytes()]})
 
-    parts = df.select(hash_column).mapInPandas(
-        build_partition, schema="words binary"
-    )
+    # each partition emits a full m/8-byte bitset — coalesce so the
+    # driver merges a handful of bitsets, not one per shuffle partition
+    hashes = df.select(hash_column)
+    if hashes.rdd.getNumPartitions() > 8:
+        hashes = hashes.coalesce(8)
+    parts = hashes.mapInPandas(build_partition, schema="words binary")
     zero = BloomFilter(m_bits, k)
     rdd = parts.rdd.map(
         lambda row: BloomFilter(
