@@ -437,28 +437,25 @@ class CrawlEngine:
                 .filter(F.col("depth") < F.col("max_depth"))
                 .drop("max_depth")
             )
-            candidates = candidates.join(roots_map, "sitemap_id")
-            candidates = candidates.withColumn("host", _host_col(F.col("url")))
-            candidates = apply_robots_gate(candidates, self.robots)
-
             # 8) first-wins dedup inside the round (F4 determinized):
             #    lexicographic min over stable keys — an aggregation
             #    (partial+final, map-side combine) instead of a window
-            #    sort; parallelism-invariant. root/host are functionally
-            #    determined by (sitemap_id, url), so any_value is exact.
+            #    sort; parallelism-invariant. Shuffles only
+            #    (sitemap_id, url, depth, parent): host/root are
+            #    re-derived AFTER the shuffle (functionally determined),
+            #    keeping the round's big exchange as narrow as possible.
             candidates = (
                 candidates.groupBy("sitemap_id", "url")
-                .agg(
-                    F.min(F.struct("depth", "parent")).alias("_m"),
-                    F.first("root").alias("root"),
-                    F.first("host").alias("host"),
-                )
+                .agg(F.min(F.struct("depth", "parent")).alias("_m"))
                 .select(
-                    "sitemap_id", "url", "root", "host",
+                    "sitemap_id", "url",
                     F.col("_m.depth").alias("depth"),
                     F.col("_m.parent").alias("parent"),
                 )
             )
+            candidates = candidates.join(roots_map, "sitemap_id")
+            candidates = candidates.withColumn("host", _host_col(F.col("url")))
+            candidates = apply_robots_gate(candidates, self.robots)
 
             # 9) seen-set dedup (F4): advisory Bloom pre-filter, exact
             #    anti-join confirm vs visited ∪ carried frontier
