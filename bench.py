@@ -63,7 +63,7 @@ def run_crawl_bench(spark, corpus_dir: str, n_hosts: int, tag: str) -> dict:
 
     corpus = spark.read.parquet(corpus_dir)
     seeds = [
-        (r["url"], f"bench-{r['host']}", 6, 0.0)
+        (r["url"], f"bench-{r['host']}", 8, 0.0)
         for r in (
             corpus.groupBy("host")
             .agg(F.min("url").alias("url"))
@@ -73,13 +73,14 @@ def run_crawl_bench(spark, corpus_dir: str, n_hosts: int, tag: str) -> dict:
     ckpt = f"/tmp/sitemapper_bench_ckpt_{tag}"
     shutil.rmtree(ckpt, ignore_errors=True)
     cfg = CrawlConfig(
-        max_depth=6,
+        max_depth=8,
         per_host_budget=50_000,
         use_bloom=True,
         bloom_min_visited=10_000,
         checkpoint_dir=ckpt,
         hot_host_threshold=20_000,
         salt_buckets=8,
+        decode_verify_images=True,  # north_star: fetch/decode per round
     )
     engine = CrawlEngine(spark, corpus, cfg)
     t0 = time.perf_counter()

@@ -73,6 +73,10 @@ class CrawlConfig:
     broadcast_fetch_max: int | None = 2_000_000  # dequeued rows small enough to
     # semi-join+broadcast the fetch (skips shuffling the whole corpus);
     # None disables → plain shuffle join (the >memory-frontier path)
+    decode_verify_images: bool = False  # per north_star: each round
+    # fetch/decodes the image payload of visited pages and appends image
+    # rows (url, phash, ok, psnr_db, caption_ok); bytes are read from
+    # the corpus scan and never shuffled (semi-join prune, mapInPandas)
     salt_buckets: int = 8
     hot_host_threshold: int = 100_000  # frontier rows per host before salting
     max_rounds: int = 1000
@@ -148,6 +152,12 @@ class CrawlEngine:
         cols = ["url", "status", "final_url"]
         cols.append("html" if self.config.use_html_extraction else "out_links")
         self.fetch_side = corpus.select(*cols).withColumnRenamed("url", "_corpus_url")
+        self.image_side = (
+            corpus.select("url", "image_id", "bytes", "w", "h", "fmt",
+                          "caption", "phash")
+            if self.config.decode_verify_images
+            else None
+        )
 
     # ------------------------------------------------------------------
     def _ckpt(self, *parts: str) -> str:
@@ -325,6 +335,25 @@ class CrawlEngine:
             )
             visited_rounds = visited_rounds + [round_no]
             visited = self._read_rounds("visited", visited_rounds)
+            image_thread = None
+            if self.image_side is not None:
+                # decode+verify the image payload of this round's pages
+                # and append image rows (north_star: "fetch/decode, and
+                # append discovered edges plus image rows"). The bytes
+                # column flows scan → mapInPandas → per-round parquet,
+                # never through a shuffle: the corpus is pruned with a
+                # broadcast semi-join on the dequeued URLs first.
+                from .operators.multimodal import decode_verify
+
+                img_pages = self.image_side.join(
+                    F.broadcast(dequeued.select("url")), "url", "left_semi"
+                )
+                image_rows = decode_verify(img_pages)
+                image_thread = threading.Thread(
+                    target=self._write, args=(image_rows, round_no, "images")
+                )
+                image_thread.start()
+
             bloom_thread = None
             if cfg.use_bloom:
                 # incremental: only THIS round's URLs are hashed and
@@ -524,6 +553,8 @@ class CrawlEngine:
             frontier = self._write(
                 carry.unionByName(survivors), round_no, "frontier_next"
             )
+            if image_thread is not None:
+                image_thread.join()  # before dequeued is unpersisted
             for df in (dequeued, carry, cleaned, survivors_base):
                 df.unpersist()
             self._manifest(

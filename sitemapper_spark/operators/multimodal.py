@@ -34,8 +34,8 @@ __all__ = [
 ]
 
 _VERIFY_SCHEMA = (
-    "image_id string, fmt string, ok boolean, psnr_db double, "
-    "caption_ok boolean, err string"
+    "url string, image_id string, fmt string, phash bigint, ok boolean, "
+    "psnr_db double, caption_ok boolean, err string"
 )
 
 
@@ -52,9 +52,9 @@ def decode_verify(pages: DataFrame, min_psnr_db: float = 40.0) -> DataFrame:
     def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for image_id, data, w, h, fmt, caption, url in zip(
+            for image_id, data, w, h, fmt, caption, url, phash in zip(
                 pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"],
-                pdf["fmt"], pdf["caption"], pdf["url"],
+                pdf["fmt"], pdf["caption"], pdf["url"], pdf["phash"],
             ):
                 try:
                     if data is None:
@@ -65,18 +65,21 @@ def decode_verify(pages: DataFrame, min_psnr_db: float = 40.0) -> DataFrame:
                     lossless_ok = fmt == "png" and np.array_equal(ref, px)
                     ok = lossless_ok or p >= min_psnr_db
                     cap_ok = caption == caption_for(url)
-                    out.append((image_id, fmt, bool(ok), float(min(p, 999.0)),
-                                bool(cap_ok), None))
+                    out.append((url, image_id, fmt, int(phash), bool(ok),
+                                float(min(p, 999.0)), bool(cap_ok), None))
                 except NotImplementedError as e:
-                    out.append((image_id, fmt, False, 0.0, False, f"stub: {e}"))
+                    out.append((url, image_id, fmt, int(phash), False, 0.0,
+                                False, f"stub: {e}"))
                 except Exception as e:
-                    out.append((image_id, fmt, False, 0.0, False, str(e)[:200]))
+                    out.append((url, image_id, fmt, int(phash), False, 0.0,
+                                False, str(e)[:200]))
             yield pd.DataFrame(
                 out,
-                columns=["image_id", "fmt", "ok", "psnr_db", "caption_ok", "err"],
+                columns=["url", "image_id", "fmt", "phash", "ok", "psnr_db",
+                         "caption_ok", "err"],
             )
 
-    cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "url"]
+    cols = ["url", "image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
     return pages.select(*cols).mapInPandas(verify, schema=_VERIFY_SCHEMA)
 
 
