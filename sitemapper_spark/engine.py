@@ -264,10 +264,19 @@ class CrawlEngine:
 
         npart = cfg.num_partitions or spark.sparkContext.defaultParallelism
         # run metadata is tiny and constant: collect ONCE, re-create as
-        # local DataFrames so no per-round job re-derives them
-        meta_rows = seeds.select(
-            "sitemap_id", "max_depth", F.lower(F.col("url")).alias("root")
-        ).distinct().collect()
+        # local DataFrames so no per-round job re-derives them. A
+        # sitemap may have many seeds (they must share a host — the
+        # reference is strictly same-site, `crawler.go:247`): the root
+        # collapses to the lexicographic min, which fixes the scheme and
+        # host used by canonicalization for the whole sitemap.
+        meta_rows = (
+            seeds.groupBy("sitemap_id")
+            .agg(
+                F.max("max_depth").alias("max_depth"),
+                F.min(F.lower(F.col("url"))).alias("root"),
+            )
+            .collect()
+        )
         sitemap_ids = [r["sitemap_id"] for r in meta_rows]
         max_depth_map = F.broadcast(
             spark.createDataFrame(
