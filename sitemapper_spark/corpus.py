@@ -163,6 +163,15 @@ def synth_corpus(
         for pdf in batches:
             ids = pdf["id"].to_numpy()
             rows = []
+            # yield in small chunks: with image payloads a whole Arrow
+            # batch of rows would hold hundreds of MB in one pandas frame
+            def flush():
+                out = pd.DataFrame(
+                    rows, columns=[f.name for f in PAGES_SCHEMA.fields]
+                )
+                rows.clear()
+                return out
+
             for pid in ids:
                 pid = int(pid)
                 hidx = int(np.searchsorted(b, pid, side="right") - 1)
@@ -199,9 +208,10 @@ def synth_corpus(
                     (url, f"host{hidx}.example.com", status, url, None, links,
                      image_id, data, img_w, img_h, fmt, caption_for(url), phash)
                 )
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in PAGES_SCHEMA.fields]
-            )
+                if len(rows) >= 1024:
+                    yield flush()
+            if rows:
+                yield flush()
 
     return (
         spark.range(0, n_pages, numPartitions=num_partitions)

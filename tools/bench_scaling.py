@@ -72,6 +72,7 @@ def run_level(cpus: int, corpus_path: str) -> dict:
 
 
 def main() -> None:
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")  # workers inherit
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     n_hosts = int(sys.argv[2]) if len(sys.argv) > 2 else 256
     img_w = int(sys.argv[3]) if len(sys.argv) > 3 else 96
