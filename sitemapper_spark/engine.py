@@ -62,6 +62,29 @@ def _host_col(url):
     return F.regexp_extract(url, _HOST_RE, 1)
 
 
+class _BgAction:
+    """Concurrent Spark action that re-raises its failure on join —
+    a silently-dead background write must fail the round, not produce
+    an incomplete checkpoint."""
+
+    def __init__(self, fn, *args):
+        self.exc: BaseException | None = None
+
+        def runner():
+            try:
+                fn(*args)
+            except BaseException as e:  # noqa: BLE001 — re-raised on join
+                self.exc = e
+
+        self.thread = threading.Thread(target=runner)
+        self.thread.start()
+
+    def join(self) -> None:
+        self.thread.join()
+        if self.exc is not None:
+            raise self.exc
+
+
 @dataclass
 class CrawlConfig:
     max_depth: int = 1  # reference default (`cmd/standalone/sitemapper.go:21`)
@@ -354,14 +377,14 @@ class CrawlEngine:
                 # broadcast semi-join on the dequeued URLs first.
                 from .operators.multimodal import decode_verify
 
-                img_pages = self.image_side.join(
-                    F.broadcast(dequeued.select("url")), "url", "left_semi"
-                )
+                keys = dequeued.select("url")
+                if cfg.broadcast_fetch_max is not None:
+                    keys = F.broadcast(keys)
+                img_pages = self.image_side.join(keys, "url", "left_semi")
                 image_rows = decode_verify(img_pages)
-                image_thread = threading.Thread(
-                    target=self._write, args=(image_rows, round_no, "images")
+                image_thread = _BgAction(
+                    self._write, image_rows, round_no, "images"
                 )
-                image_thread.start()
 
             bloom_thread = None
             if cfg.use_bloom:
@@ -370,10 +393,7 @@ class CrawlEngine:
                 # Runs as a concurrent Spark action — overlaps with the
                 # fetch/extract/edges work below; joined before the
                 # candidate split needs the filter.
-                bloom_thread = threading.Thread(
-                    target=self._absorb_into_bloom, args=(visited_new,)
-                )
-                bloom_thread.start()
+                bloom_thread = _BgAction(self._absorb_into_bloom, visited_new)
 
             # 3) fetch = corpus join (F6); null right side / status!=200
             #    = fetch error → no links, URL still visited.
