@@ -64,17 +64,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return qlib.all_oracles()
+    sql = qlib.all_oracles()
+    sql["crawl_bfs_adjacency"] = _SQL_CRAWL_BFS_ADJACENCY
+    return sql
 
 
 def _crawl_bfs_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full crawl engine over the documents-derived corpus (rows-only:
-    the BFS fixpoint is not expressible as one SQL statement; golden
-    parity is covered by tests/test_engine_golden.py)."""
-    corpus = corpus_from_documents(spark, sf_dir, n_hosts=5)
+    """Full crawl engine (BFS fixpoint, visited anti-join, adjacency
+    aggregation) over the documents-derived page graph, ORACLED: the
+    graph uses the SQL-expressible modular link rule so a DuckDB
+    recursive CTE reproduces the exact visited set (every URL at its
+    minimal depth < max_depth, `crawler.go:93` gate) and per-src sorted
+    link sets. Golden parity vs the reference fixture is separately
+    covered by tests/test_engine_golden.py."""
+    corpus = corpus_from_documents(spark, sf_dir, n_hosts=5, link_rule="modular")
     cfg = CrawlConfig(
         max_depth=2,
-        per_host_budget=64,
+        per_host_budget=None,
         use_bloom=False,
         checkpoint_dir=os.path.join(tempfile.gettempdir(), "smk_q_ckpt"),
     )
@@ -84,3 +90,42 @@ def _crawl_bfs_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src", F.size("links").alias("n_links"),
         F.array_join("links", ",").alias("links_csv"),
     )
+
+
+# The BFS fixpoint as a bounded-depth recursive CTE over the SAME
+# deterministic page graph (modular link rule of corpus_from_documents:
+# host = doc_id % 5, targets = hidx + 5 * ((doc_id*37 + j*101 + 13) %
+# n_on_host) for j in 0..3; the seed's host is docs0 and the graph is
+# host-closed, so only host-0 docs participate). Visited = minimal
+# depth < max_depth (= 2); adjacency = sorted distinct out-links of
+# every visited URL, zero-link pages kept with '' (crawler.go:173).
+_SQL_CRAWL_BFS_ADJACENCY = """
+WITH RECURSIVE
+nd AS (SELECT count(*) AS n FROM documents),
+noh AS (SELECT (n + 4) // 5 AS m FROM nd),
+edges AS (
+  SELECT DISTINCT d.doc_id AS src_id,
+         5 * ((d.doc_id * 37 + j.j * 101 + 13) % noh.m) AS dst_id
+  FROM documents d, (SELECT unnest(range(0, 4)) AS j) j, noh
+  WHERE d.doc_id % 5 = 0
+),
+bfs(id, depth) AS (
+  SELECT 0, 0
+  UNION
+  SELECT e.dst_id, b.depth + 1
+  FROM bfs b JOIN edges e ON e.src_id = b.id
+  WHERE b.depth + 1 < 2
+),
+visited AS (SELECT DISTINCT id FROM bfs),
+adj AS (
+  SELECT v.id AS src_id,
+         list_sort(list(DISTINCT
+           'http://docs0.example.com/d/' || e.dst_id || '.html')) AS links
+  FROM visited v JOIN edges e ON e.src_id = v.id
+  GROUP BY v.id
+)
+SELECT 'http://docs0.example.com/d/' || v.id || '.html' AS src,
+       coalesce(len(a.links), 0) AS n_links,
+       coalesce(array_to_string(a.links, ','), '') AS links_csv
+FROM visited v LEFT JOIN adj a ON a.src_id = v.id
+"""

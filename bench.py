@@ -56,25 +56,46 @@ def ensure_corpus(spark, n_pages: int, n_hosts: int) -> str:
     return path
 
 
-def run_crawl_bench(spark, corpus_dir: str, n_hosts: int, tag: str) -> dict:
+def run_crawl_bench(spark, corpus_dir: str, tag: str, shape: str) -> dict:
+    """Two crawl shapes:
+
+    * ``mega`` (headline): seeds = 1/8 of the corpus at max_depth=2 —
+      production-shaped fat rounds where data-proportional stage work
+      (fetch join, image decode+verify, canonicalize, dedup) dominates
+      the round fixpoint, like 10^8-row rounds on a real cluster;
+    * ``deep``: 1 seed/host, BFS max_depth=8 under a politeness budget
+      — the fixpoint-dominated small-round regime (frontier ramps up
+      from 64 URLs), reported for the round-overhead picture.
+    """
     from pyspark.sql import functions as F
 
     from sitemapper_spark.engine import CrawlConfig, CrawlEngine
+    from sitemapper_spark.schemas import SEEDS_SCHEMA
 
     corpus = spark.read.parquet(corpus_dir)
-    seeds = [
-        (r["url"], f"bench-{r['host']}", 8, 0.0)
-        for r in (
-            corpus.groupBy("host")
-            .agg(F.min("url").alias("url"))
-            .collect()
-        )
-    ]
-    ckpt = f"/tmp/sitemapper_bench_ckpt_{tag}"
+    if shape == "mega":
+        seeds = corpus.filter(F.xxhash64("url") % 8 == 0).select(
+            "url",
+            F.concat(F.lit("bench-"), F.col("host")).alias("sitemap_id"),
+            F.lit(2).alias("max_depth"),
+            F.lit(0.0).alias("priority"),
+        ).select(*[f.name for f in SEEDS_SCHEMA.fields])
+        max_depth, budget = 2, None
+    else:
+        seeds = [
+            (r["url"], f"bench-{r['host']}", 8, 0.0)
+            for r in (
+                corpus.groupBy("host")
+                .agg(F.min("url").alias("url"))
+                .collect()
+            )
+        ]
+        max_depth, budget = 8, 50_000
+    ckpt = f"/tmp/sitemapper_bench_ckpt_{tag}_{shape}"
     shutil.rmtree(ckpt, ignore_errors=True)
     cfg = CrawlConfig(
-        max_depth=8,
-        per_host_budget=50_000,
+        max_depth=max_depth,
+        per_host_budget=budget,
         use_bloom=True,
         bloom_min_visited=10_000,
         checkpoint_dir=ckpt,
@@ -117,7 +138,8 @@ def main() -> None:
     n_hosts = 64
     corpus_dir = ensure_corpus(spark, n_pages, n_hosts)
 
-    crawl = run_crawl_bench(spark, corpus_dir, n_hosts, tag=f"c{cpus}")
+    crawl = run_crawl_bench(spark, corpus_dir, tag=f"c{cpus}", shape="mega")
+    crawl_deep = run_crawl_bench(spark, corpus_dir, tag=f"c{cpus}", shape="deep")
 
     qtimes: dict[str, float] = {}
     registry = qlib.all_queries()
@@ -126,7 +148,8 @@ def main() -> None:
         t0 = time.perf_counter()
         n = fn(spark, sf_dir).count()
         qtimes[name] = round(time.perf_counter() - t0, 3)
-    qtimes["crawl_bfs"] = crawl["sec"]
+    qtimes["crawl_mega"] = crawl["sec"]
+    qtimes["crawl_deep_bfs"] = crawl_deep["sec"]
 
     total = round(sum(qtimes.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -139,6 +162,8 @@ def main() -> None:
                 "queries": qtimes,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "crawl": crawl,
+                "crawl_deep": crawl_deep,
+                "urls_per_sec": crawl["urls_per_sec"],
                 "corpus_pages": n_pages,
                 "cpus": cpus,
             }

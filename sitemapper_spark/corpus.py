@@ -157,8 +157,13 @@ def synth_corpus(
         b = bounds_bc.value
 
         def url_of(pid: int, hidx: int) -> str:
+            # token samples the 10^10 logical URL-ID space; the pid
+            # suffix makes URLs injective (two pages of one host must
+            # never collide into the same URL — duplicate corpus rows
+            # would multiply the fetch left-join and double-count
+            # lineage counts)
             token = splitmix64(seed ^ (pid * 0x2545F4914F6CDD1D)) % 10_000_000_000
-            return f"http://host{hidx}.example.com/p/{token:010d}.html"
+            return f"http://host{hidx}.example.com/p/{token:010d}-{pid}.html"
 
         for pdf in batches:
             ids = pdf["id"].to_numpy()
@@ -226,13 +231,16 @@ def corpus_from_documents(
     n_hosts: int = 5,
     with_images: bool = False,
     seed: int = 42,
+    link_rule: str = "splitmix",
 ) -> DataFrame:
     """Page graph derived from the driver's ``documents`` parquet.
 
     Deterministic: doc_id → url on host ``doc_id % n_hosts``; links
-    target other docs on the same host via a splitmix64 chain. Captions
-    reuse the document text prefix so the caption-equality invariant has
-    real content behind it.
+    target other docs on the same host via a splitmix64 chain (or, with
+    ``link_rule="modular"``, a pure-modular-arithmetic chain that a SQL
+    oracle can reproduce — used by the oracled BFS query). Captions are
+    ``caption_for(url)`` so the decode-verify caption-equality invariant
+    (input_hint) holds on this corpus exactly as on the synthetic ones.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_docs = docs.count()
@@ -240,7 +248,7 @@ def corpus_from_documents(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
                 hidx = doc_id % n_hosts
                 url = f"http://docs{hidx}.example.com/d/{doc_id}.html"
@@ -249,7 +257,13 @@ def corpus_from_documents(
                 # to existing same-host docs so the graph is closed
                 n_on_host = max(1, (n_docs - hidx + n_hosts - 1) // n_hosts)
                 for j in range(links_per_page):
-                    t = splitmix64(seed + doc_id * 2654435761 + j)
+                    if link_rule == "modular":
+                        # SQL-expressible chain (DuckDB recursive-CTE
+                        # oracle reproduces it verbatim): plain modular
+                        # arithmetic, no bit mixing
+                        t = doc_id * 37 + j * 101 + 13
+                    else:
+                        t = splitmix64(seed + doc_id * 2654435761 + j)
                     target = hidx + n_hosts * (t % n_on_host)
                     links.append(f"http://docs{hidx}.example.com/d/{target}.html")
                 seen: set[str] = set()
@@ -260,11 +274,11 @@ def corpus_from_documents(
                     data, phash = _page_payload(image_id, 16, 12, fmt)
                 else:
                     data, phash = None, int(splitmix64(doc_id) - (1 << 63))
-                caption = (str(text) or "")[:64] or f"doc {doc_id}"
+                caption = caption_for(url)
                 rows.append(
                     (url, f"docs{hidx}.example.com", 200, url, None, links,
                      image_id, data, 16, 12, fmt, caption, phash)
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in PAGES_SCHEMA.fields])
 
-    return docs.select("doc_id", "text").mapInPandas(gen, schema=PAGES_SCHEMA)
+    return docs.select("doc_id").mapInPandas(gen, schema=PAGES_SCHEMA)

@@ -42,16 +42,25 @@ import os
 import shutil
 import threading
 import time
+from collections.abc import Callable
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.udfs import clean_links_udf, extract_links_udf
-from .operators.bloom import BloomFilter, build_bloom, split_by_bloom, url_hash_col
+from .operators.bloom import (
+    BloomFilter,
+    build_bloom,
+    build_bloom_shards,
+    merge_bloom_shards,
+    split_by_bloom,
+    split_by_bloom_shards,
+    url_hash_col,
+)
 from .operators.politeness import dequeue_per_host
 from .operators.robots import apply_robots_gate
-from .schemas import FRONTIER_SCHEMA, LINEAGE_SCHEMA, SEEDS_SCHEMA
+from .schemas import FRONTIER_SCHEMA, SEEDS_SCHEMA
 
 # JVM-side host extraction (keeps port, unlike parse_url's HOST part,
 # for parity with Go's URL.Host — `crawler.go:247`).
@@ -93,9 +102,15 @@ class CrawlConfig:
     use_bloom: bool = True
     bloom_min_visited: int = 4096  # below this the exact anti-join is cheaper
     bloom_expected_urls: int = 2_000_000  # sizes the cumulative filter once
-    broadcast_fetch_max: int | None = 2_000_000  # dequeued rows small enough to
-    # semi-join+broadcast the fetch (skips shuffling the whole corpus);
-    # None disables → plain shuffle join (the >memory-frontier path)
+    bloom_shards: int = 1  # >1 → distributed sharded filter (the
+    # 10^10-URL path: shard bitsets live as parquet rows, probed via
+    # cogroup-applyInPandas, never driver-held/broadcast whole)
+    broadcast_fetch_max: int | None = 2_000_000  # max dequeued rows for the
+    # broadcast fetch path: when this round's dequeued count is within
+    # the threshold, the corpus is semi-join-pruned and the matched
+    # slice broadcast (corpus never shuffles); above it — or with
+    # None — the fetch falls back to a shuffle join (the
+    # >broadcast-memory frontier path; bucket the corpus by url there)
     decode_verify_images: bool = False  # per north_star: each round
     # fetch/decodes the image payload of visited pages and appends image
     # rows (url, phash, ok, psnr_db, caption_ok); bytes are read from
@@ -106,6 +121,12 @@ class CrawlConfig:
     checkpoint_dir: str | None = None  # None → engine-managed temp dir
     num_partitions: int | None = None
     priority_decay: float = 0.0  # candidate priority = parent − decay
+    priority_fn: Callable[[], Column] | None = None  # custom frontier
+    # priority: a zero-arg callable returning a Column over the
+    # candidate columns (sitemap_id, url, host, depth, parent, root);
+    # overrides the default depth-decay priority. Per-host dequeue
+    # order follows it under a binding budget (north_star
+    # priority-queue frontier).
     verbose: bool = False
 
 
@@ -231,14 +252,40 @@ class CrawlEngine:
     # ------------------------------------------------------------------
     def _absorb_into_bloom(self, visited_slice: DataFrame) -> None:
         """OR-merge a visited slice's URL hashes into the cumulative
-        driver-held Bloom filter (per-partition build + treeAggregate,
+        seen filter.
+
+        Driver mode (``bloom_shards == 1``): per-partition build +
+        treeAggregate into the single driver-held filter.  Sharded mode
+        (``bloom_shards > 1``): the delta is built as (shard_id, words)
+        rows and OR-merged distributedly into the versioned shards
+        parquet — the driver never holds a bitset (the 10^10 path;
         `operators/bloom.py`)."""
         t0 = time.perf_counter()
         vh = visited_slice.select(
             url_hash_col(F.col("sitemap_id"), F.col("url")).alias("_h")
         )
-        delta = build_bloom(vh, "_h", m_bits=self._bloom.m_bits, k=self._bloom.k)
-        self._bloom = self._bloom.merge(delta)
+        if self.config.bloom_shards > 1:
+            delta = build_bloom_shards(
+                vh, "_h", self.config.bloom_shards,
+                self._shard_m_bits, self._shard_k,
+            )
+            merged = (
+                delta
+                if self._bloom_shards is None
+                else merge_bloom_shards(self._bloom_shards, delta)
+            )
+            path = self._ckpt("bloom_shards", f"v{self._bloom_version:05d}")
+            merged.write.mode("overwrite").parquet(path)
+            self._bloom_shards = self.spark.read.parquet(path)
+            if self._bloom_version > 0:  # previous version fully merged in
+                shutil.rmtree(
+                    self._ckpt("bloom_shards", f"v{self._bloom_version - 1:05d}"),
+                    ignore_errors=True,
+                )
+            self._bloom_version += 1
+        else:
+            delta = build_bloom(vh, "_h", m_bits=self._bloom.m_bits, k=self._bloom.k)
+            self._bloom = self._bloom.merge(delta)
         if self.config.verbose:
             print(
                 f"[crawl]   bloom absorb: {time.perf_counter() - t0:.2f}s",
@@ -315,6 +362,13 @@ class CrawlEngine:
         )
 
         self._bloom = BloomFilter.sized_for(cfg.bloom_expected_urls)
+        self._bloom_shards = None
+        self._bloom_version = 0
+        if cfg.bloom_shards > 1:
+            proto = BloomFilter.sized_for(
+                max(1, cfg.bloom_expected_urls // cfg.bloom_shards)
+            )
+            self._shard_m_bits, self._shard_k = proto.m_bits, proto.k
         self._visited_total = 0
 
         done = self._complete_rounds()
@@ -331,11 +385,19 @@ class CrawlEngine:
             start_round = 0
             # Depth gate at ingestion (F2): a seed with max_depth=0 is
             # never visited at all (`crawler.go:93` with depth==maxDepth).
+            # The per-seed root is replaced by the sitemap's collapsed
+            # root (lexicographic min) so round-0 canonicalization uses
+            # the SAME scheme/host as every later round; duplicate seed
+            # rows are deduped (first-wins — they are identical URLs).
             frontier = (
                 self.seeds_to_frontier(seeds)
+                .drop("root")
+                .join(roots_map, "sitemap_id")
                 .join(max_depth_map, "sitemap_id")
                 .filter(F.col("depth") < F.col("max_depth"))
                 .drop("max_depth")
+                .dropDuplicates(["sitemap_id", "url"])
+                .select(*[f.name for f in FRONTIER_SCHEMA.fields])
             )
             visited_rounds = []
 
@@ -367,6 +429,15 @@ class CrawlEngine:
             )
             visited_rounds = visited_rounds + [round_no]
             visited = self._read_rounds("visited", visited_rounds)
+            # dequeued row count — a parquet-footer count on the slice
+            # just written (cheap, no recompute). Drives the running
+            # visited total AND the broadcast-vs-shuffle fetch decision.
+            n_dequeued = visited_new.count()
+            self._visited_total += n_dequeued
+            bcast_fetch = (
+                cfg.broadcast_fetch_max is not None
+                and n_dequeued <= cfg.broadcast_fetch_max
+            )
             image_thread = None
             if self.image_side is not None:
                 # decode+verify the image payload of this round's pages
@@ -378,7 +449,7 @@ class CrawlEngine:
                 from .operators.multimodal import decode_verify
 
                 keys = dequeued.select("url")
-                if cfg.broadcast_fetch_max is not None:
+                if bcast_fetch:
                     keys = F.broadcast(keys)
                 img_pages = self.image_side.join(keys, "url", "left_semi")
                 image_rows = decode_verify(img_pages)
@@ -404,7 +475,7 @@ class CrawlEngine:
             #    frontier where dequeued no longer fits a broadcast,
             #    disable via broadcast_fetch_max=None and bucket the
             #    corpus by url instead.
-            if cfg.broadcast_fetch_max is not None:
+            if bcast_fetch:
                 keys = F.broadcast(dequeued.select(F.col("url").alias("_corpus_url")))
                 matched = self.fetch_side.join(keys, "_corpus_url", "left_semi")
                 fetched = dequeued.join(
@@ -458,26 +529,30 @@ class CrawlEngine:
             )
 
             # 6) lineage/metrics (F12 / crawl_jobs status rows) —
-            #    collected once (it is per-host-per-round tiny), reused
-            #    for the visited running count, written driver-side
-            lineage_rows = cleaned.groupBy("sitemap_id", "host").agg(
-                F.count("*").alias("urls_dequeued"),
-                F.count(F.when(F.col("status") == 200, 1)).alias("fetched"),
-                F.count(
-                    F.when(
-                        F.col("status").isNull() | (F.col("status") != 200), 1
-                    )
-                ).alias("errors"),
-                F.sum(F.size("_links")).cast("long").alias("links_found"),
-            ).select(
-                F.lit(round_no).alias("round"),
-                "sitemap_id", "host", "urls_dequeued", "fetched", "errors",
-                F.coalesce("links_found", F.lit(0)).alias("links_found"),
-                F.lit("COMPLETE").alias("status"),
-            ).collect()
-            self._visited_total += sum(r["urls_dequeued"] for r in lineage_rows)
-            self._write(
-                spark.createDataFrame(lineage_rows, LINEAGE_SCHEMA),
+            #    written DISTRIBUTEDLY (never collected: at web scale
+            #    there are 10^6-10^8 hosts per round; only the filtered
+            #    hot-host sliver below ever reaches the driver)
+            lineage_new = self._write(
+                cleaned.groupBy("sitemap_id", "host").agg(
+                    F.count("*").alias("urls_dequeued"),
+                    F.count(F.when(F.col("status") == 200, 1)).alias("fetched"),
+                    F.count(
+                        F.when(
+                            F.col("status").isNull() | (F.col("status") != 200), 1
+                        )
+                    ).alias("errors"),
+                    F.sum(F.size("_links")).cast("long").alias("links_found"),
+                ).select(
+                    F.lit(round_no).alias("round"),
+                    "sitemap_id", "host",
+                    F.col("urls_dequeued").cast("long").alias("urls_dequeued"),
+                    F.col("fetched").cast("long").alias("fetched"),
+                    F.col("errors").cast("long").alias("errors"),
+                    F.coalesce("links_found", F.lit(0)).cast("long").alias(
+                        "links_found"
+                    ),
+                    F.lit("COMPLETE").alias("status"),
+                ),
                 round_no,
                 "lineage",
             )
@@ -523,7 +598,13 @@ class CrawlEngine:
             if bloom_thread is not None:
                 bloom_thread.join()
             if cfg.use_bloom and self._visited_total >= cfg.bloom_min_visited:
-                fresh, maybe_seen = split_by_bloom(candidates, "_h", self._bloom)
+                if cfg.bloom_shards > 1 and self._bloom_shards is not None:
+                    fresh, maybe_seen = split_by_bloom_shards(
+                        candidates, "_h", self._bloom_shards,
+                        cfg.bloom_shards, self._shard_m_bits, self._shard_k,
+                    )
+                else:
+                    fresh, maybe_seen = split_by_bloom(candidates, "_h", self._bloom)
                 confirmed = maybe_seen.join(
                     visited.select("sitemap_id", "url"),
                     ["sitemap_id", "url"],
@@ -543,19 +624,20 @@ class CrawlEngine:
             ).drop("_h").persist()  # reused: hot-host scan + frontier write
 
             # 10) next frontier = carry-over ∪ survivors, salted where
-            # hot. Heat is read off the (already-collected) lineage
-            # rows — a host that just expanded many pages is about to
-            # produce many candidates; no extra job.
+            # hot. Heat is an aggregate-then-FILTER on the (tiny,
+            # already-written) lineage parquet — only hosts over the
+            # threshold are collected, so the driver sees O(hot hosts),
+            # never O(hosts); a host that just expanded many pages is
+            # about to produce many candidates.
             hot_hosts: list[str] = []
             if cfg.hot_host_threshold is not None:
-                per_host: dict[str, int] = {}
-                for r in lineage_rows:
-                    per_host[r["host"]] = (
-                        per_host.get(r["host"], 0) + r["links_found"]
-                    )
                 hot_hosts = [
-                    h for h, n in per_host.items()
-                    if n > cfg.hot_host_threshold
+                    r["host"]
+                    for r in lineage_new.groupBy("host")
+                    .agg(F.sum("links_found").alias("_lf"))
+                    .filter(F.col("_lf") > cfg.hot_host_threshold)
+                    .select("host")
+                    .collect()
                 ]
             salt = (
                 F.when(
@@ -565,6 +647,11 @@ class CrawlEngine:
                 if hot_hosts
                 else F.lit(0)
             )
+            priority = (
+                cfg.priority_fn()
+                if cfg.priority_fn is not None
+                else F.lit(0.0) - F.lit(cfg.priority_decay) * F.col("depth")
+            )
             survivors = survivors_base.select(
                 "sitemap_id",
                 "root",
@@ -573,9 +660,7 @@ class CrawlEngine:
                 F.xxhash64(F.col("host")).alias("host_hash"),
                 salt.cast("int").alias("salt"),
                 "depth",
-                (F.lit(0.0) - F.lit(cfg.priority_decay) * F.col("depth")).alias(
-                    "priority"
-                ),
+                priority.cast("double").alias("priority"),
                 "parent",
                 F.lit(round_no + 1).alias("round"),
             )

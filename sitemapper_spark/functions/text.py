@@ -94,12 +94,14 @@ def lang_id_col(text: Column) -> Column:
 
 
 def fingerprint_col(text: Column, n_grams: int = 4) -> Column:
-    """Order-insensitive document fingerprint: xxhash64 over the sorted
-    distinct word n-gram hashes (a winnowing-style rolling fingerprint
-    without the Python rolling loop — the gram set is the roll)."""
+    """Order-insensitive document fingerprint: md5 over the sorted
+    distinct word n-grams (a winnowing-style rolling fingerprint
+    without the Python rolling loop — the gram set is the roll). md5
+    rather than xxhash64 so the DuckDB oracle can recompute the exact
+    value (xxhash64 has no DuckDB twin)."""
     tokens = F.filter(F.split(F.lower(text), r"[^\p{L}\p{N}]+"), lambda t: t != "")
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(tokens) - n_grams, F.lit(0))),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tokens, i + 1, n_grams))),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n_grams)),
     )
-    return F.xxhash64(F.concat_ws(",", F.array_sort(F.array_distinct(grams))))
+    return F.md5(F.concat_ws("|", F.array_sort(F.array_distinct(grams))))

@@ -29,7 +29,16 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["BloomFilter", "url_hash_col", "build_bloom", "split_by_bloom"]
+__all__ = [
+    "BloomFilter",
+    "url_hash_col",
+    "build_bloom",
+    "split_by_bloom",
+    "shard_col",
+    "build_bloom_shards",
+    "merge_bloom_shards",
+    "split_by_bloom_shards",
+]
 
 _MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
 
@@ -153,4 +162,126 @@ def split_by_bloom(
     return (
         flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen"),
         flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sharded (distributed) variant — the 10^10-URL path.
+#
+# The single driver-held filter above caps at driver memory: at 10^10
+# URLs a 16-bits/item filter is ~20 GB — neither driver-holdable nor
+# broadcastable. The sharded variant partitions the bit space by a
+# remix of the key hash into ``n_shards`` independent filters stored as
+# ROWS ``(shard_id int, words binary)`` in a DataFrame/parquet table;
+# build, OR-merge, and probe are all executor-side:
+#
+# * build: hashes grouped by shard → one bitset per shard
+#   (``applyInPandas``, Arrow);
+# * merge: union + groupBy(shard_id) OR-fold — each round only ships
+#   the delta;
+# * probe: candidates co-grouped with their shard's bitset
+#   (``cogroup.applyInPandas``) — each executor holds exactly one
+#   ``m_bits/8`` slice at a time, never the whole filter.
+#
+# Per-executor memory is m_bits/8 bytes per shard regardless of total
+# filter size, so the advisory layer keeps working at any frontier
+# scale. The shard route uses ``xxhash64(hash)`` (remixed) so shard
+# membership is independent of the in-filter bit positions (which use
+# the raw hash) — routing by ``hash % n_shards`` would pin the low bits
+# of every in-shard key and waste 1/n_shards of the bit space.
+# ---------------------------------------------------------------------------
+
+
+def shard_col(hash_column: Column, n_shards: int) -> Column:
+    """Shard route for a key hash — remixed, JVM-side."""
+    return F.pmod(F.xxhash64(hash_column), F.lit(n_shards)).cast("int")
+
+
+def build_bloom_shards(
+    df: DataFrame, hash_column: str, n_shards: int, m_bits: int, k: int
+) -> DataFrame:
+    """(shard_id, words) bitset rows from a hash column. ``m_bits`` is
+    the size of EACH shard's filter."""
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        bf = BloomFilter(m_bits, k)
+        bf.add_many(pdf[hash_column].to_numpy(dtype=np.int64))
+        return pd.DataFrame(
+            {"shard_id": [int(pdf["_shard"].iloc[0])], "words": [bf.words.tobytes()]}
+        )
+
+    return (
+        df.select(hash_column)
+        .withColumn("_shard", shard_col(F.col(hash_column), n_shards))
+        .groupBy("_shard")
+        .applyInPandas(build, schema="shard_id int, words binary")
+    )
+
+
+def merge_bloom_shards(a: DataFrame, b: DataFrame) -> DataFrame:
+    """OR-merge two (shard_id, words) tables (map-side-combinable agg
+    shape; shards missing on one side pass through)."""
+
+    def orm(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = None
+        for w in pdf["words"]:
+            arr = np.frombuffer(bytes(w), dtype=np.uint64)
+            out = arr.copy() if out is None else out | arr
+        return pd.DataFrame(
+            {"shard_id": [int(pdf["shard_id"].iloc[0])], "words": [out.tobytes()]}
+        )
+
+    return (
+        a.unionByName(b)
+        .groupBy("shard_id")
+        .applyInPandas(orm, schema="shard_id int, words binary")
+    )
+
+
+def split_by_bloom_shards(
+    candidates: DataFrame,
+    hash_column: str,
+    shards: DataFrame,
+    n_shards: int,
+    m_bits: int,
+    k: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Sharded probe: co-group candidates with their shard's bitset.
+
+    Returns (provably_unseen, maybe_seen) exactly like
+    :func:`split_by_bloom`; candidates whose shard has no bitset yet
+    are provably unseen.
+    """
+    from pyspark.sql import types as T
+
+    cand = candidates.withColumn("_shard", shard_col(F.col(hash_column), n_shards))
+    out_schema = T.StructType(
+        cand.schema.fields + [T.StructField("_maybe_seen", T.BooleanType())]
+    )
+    col_names = [f.name for f in out_schema.fields]
+
+    def probe(cpdf: pd.DataFrame, spdf: pd.DataFrame) -> pd.DataFrame:
+        cpdf = cpdf.copy()
+        if len(cpdf) == 0:
+            cpdf["_maybe_seen"] = np.zeros(0, dtype=bool)
+            return cpdf[col_names] if set(col_names) <= set(cpdf.columns) else cpdf
+        if len(spdf) == 0:
+            cpdf["_maybe_seen"] = False
+            return cpdf
+        bf = BloomFilter(
+            m_bits, k, np.frombuffer(bytes(spdf["words"].iloc[0]), dtype=np.uint64).copy()
+        )
+        cpdf["_maybe_seen"] = bf.contains_many(
+            cpdf[hash_column].to_numpy(dtype=np.int64)
+        )
+        return cpdf
+
+    flagged = (
+        cand.groupBy("_shard")
+        .cogroup(shards.groupBy("shard_id"))
+        .applyInPandas(probe, schema=out_schema)
+    )
+    return (
+        flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen", "_shard"),
+        flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen", "_shard"),
     )

@@ -142,6 +142,7 @@ def minhash_near_dup_pairs(
     rows_per_band: int = 4,
     threshold: float = 0.7,
     seed: int = 42,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline with exact-Jaccard verify.
 
@@ -150,8 +151,34 @@ def minhash_near_dup_pairs(
     array_intersect/array_union (JVM) — LSH false positives are
     filtered, so the result equals exact all-pairs Jaccard ≥ threshold
     restricted to LSH-recalled pairs.
+
+    Hot-bucket guard (``collapse_exact``): B exact copies of one
+    document would put B rows in every one of its LSH buckets → B²
+    candidate pairs in one task. Exact duplicates are collapsed to one
+    representative (min id) BEFORE banding; LSH + verify run on
+    representatives only; the group structure is expanded back at the
+    end — members of one exact-dup group pair at jaccard 1.0, and a
+    verified rep pair (ra, rb, j) expands to every cross pair at the
+    same j (identical text ⇒ identical shingle set ⇒ identical
+    jaccard). Candidate work is linear in group size; only the true
+    output is quadratic.
     """
-    sh = docs.select(
+    if not collapse_exact:
+        reps = docs
+    else:
+        groups = (
+            docs.groupBy(F.md5(F.col(text_col)).alias("_fp"))
+            .agg(
+                F.min(id_col).alias("_rep"),
+                F.collect_set(id_col).alias("_members"),
+            )
+            .persist()
+        )
+        reps = docs.join(
+            groups.select(F.col("_rep").alias(id_col)), id_col, "left_semi"
+        )
+
+    sh = reps.select(
         F.col(id_col),
         shingles_col(tokens_col(F.col(text_col)), shingle_n).alias("shingles"),
     ).persist()
@@ -172,39 +199,77 @@ def minhash_near_dup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     )
-    return verified
+    if not collapse_exact:
+        return verified
+
+    members = groups.select(
+        F.col("_rep"), F.explode("_members").alias("_id")
+    )
+    # pairs inside one exact-dup group: jaccard exactly 1.0
+    x, y = members.alias("x"), members.alias("y")
+    within = (
+        x.join(y, F.col("x._rep") == F.col("y._rep"))
+        .filter(F.col("x._id") < F.col("y._id"))
+        .select(
+            F.col("x._id").alias("id_a"),
+            F.col("y._id").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    # cross-group expansion of verified representative pairs
+    ga = members.select(F.col("_rep").alias("id_a"), F.col("_id").alias("_xa"))
+    gb = members.select(F.col("_rep").alias("id_b"), F.col("_id").alias("_xb"))
+    cross = (
+        verified.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(
+            F.least("_xa", "_xb").alias("id_a"),
+            F.greatest("_xa", "_xb").alias("id_b"),
+            "jaccard",
+        )
+    )
+    return within.unionByName(cross)
 
 
 def simhash_col(text: Column, seed: int = 42) -> Column:
-    """64-bit SimHash over word tokens (Arrow-batched numpy voting)."""
+    """64-bit SimHash over word tokens.
+
+    Per-token hashes are computed JVM-side — ``transform(tokens,
+    xxhash64(seed, t))``, same pattern as the MinHash path — so Python
+    never sees a token string; the pandas UDF only does the 64-bit
+    bit-voting over int64 arrays, fully vectorized (flatten +
+    ``add.reduceat``, zero per-token interpreter work).
+    """
 
     @F.pandas_udf(T.LongType())
-    def _simhash(tokens: pd.Series) -> pd.Series:
-        out = np.zeros(len(tokens), dtype=np.int64)
-        for i, toks in enumerate(tokens):
-            if toks is None or len(toks) == 0:
-                continue
-            hs = np.array(
-                [_stable_hash64(t, seed) for t in toks], dtype=np.uint64
-            )
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
-                np.int64
-            )
-            votes = (2 * bits - 1).sum(axis=0)
-            v = 0
-            for j in np.nonzero(votes > 0)[0]:
-                v |= 1 << int(j)
-            out[i] = v - (1 << 64) if v >= (1 << 63) else v  # two's complement
+    def _vote(hash_arrays: pd.Series) -> pd.Series:
+        n = len(hash_arrays)
+        out = np.zeros(n, dtype=np.int64)
+        if n == 0:
+            return pd.Series(out)
+        arrs = [
+            np.asarray(a, dtype=np.int64)
+            if a is not None
+            else np.empty(0, dtype=np.int64)
+            for a in hash_arrays
+        ]
+        lens = np.array([len(a) for a in arrs], dtype=np.int64)
+        nz = np.nonzero(lens > 0)[0]
+        if len(nz) == 0:
+            return pd.Series(out)
+        flat = np.concatenate([arrs[i] for i in nz]).astype(np.uint64)
+        bits = (flat[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        contrib = 2 * bits.astype(np.int32) - 1  # (total_tokens, 64) ±1
+        starts = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
+        votes = np.add.reduceat(contrib, starts, axis=0)  # (n_docs, 64)
+        packed = (
+            (votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
+        ).sum(axis=1, dtype=np.uint64)  # disjoint bits: sum == OR
+        out[nz] = packed.view(np.int64)
         return pd.Series(out)
 
-    return _simhash(tokens_col(text))
-
-
-def _stable_hash64(s: str, seed: int) -> int:
-    h = np.uint64(0xCBF29CE484222325) ^ np.uint64(seed)
-    for byte in s.encode("utf-8"):
-        h = np.uint64((int(h) ^ byte) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-    return int(h)
+    hashes = F.transform(tokens_col(text), lambda t: F.xxhash64(F.lit(seed), t))
+    return _vote(hashes)
 
 
 def simhash_near_dup_pairs(
@@ -229,10 +294,11 @@ def simhash_near_dup_pairs(
     chunk_exprs = []
     for c in range(n_chunks):
         w = width if c < n_chunks - 1 else 64 - width * (n_chunks - 1)
-        mask = (1 << w) - 1
-        chunk_exprs.append(
-            F.shiftrightunsigned(F.col("sh"), width * c).bitwiseAND(F.lit(mask))
-        )
+        shifted = F.shiftrightunsigned(F.col("sh"), width * c)
+        if w >= 64:  # single-chunk case (max_hamming=0): whole hash
+            chunk_exprs.append(shifted)
+        else:
+            chunk_exprs.append(shifted.bitwiseAND(F.lit((1 << w) - 1)))
     chunks = hashed.select(
         id_col, "sh",
         F.posexplode(F.array(*chunk_exprs)).alias("chunk_id", "chunk"),

@@ -576,41 +576,150 @@ def q_ivf_ann_topk(spark, sf_dir):
 SQL_IVF_ANN_TOPK = SQL_ANN_COSINE_TOPK
 
 
-# --- rows-only entries (non-SQL-expressible; exactness is proven in
-# pytest against brute-force implementations instead) ---------------------
+# --- pipeline operators previously rows-only, now ORACLED: each is
+# restructured so a DuckDB statement reproduces the exact output
+# (exact all-pairs recomputation, invariant counts, or SQL-twin
+# hashing) while the Spark side still exercises the scale path
+# (LSH banding, chunked hamming, mapInPandas decode) -----------------------
 
 def q_minhash_near_dup(spark, sf_dir):
-    """MinHash+LSH near-dup pairs on documents (exact-Jaccard verified;
-    tests/test_dedup.py proves equality with brute-force pairs)."""
+    """MinHash+LSH near-dup pairs on documents, exact-Jaccard verified.
+
+    Oracle = exact all-pairs Jaccard ≥ 0.5 over the same 3-gram shingle
+    sets (DuckDB list_intersect/list_distinct). Banding runs at
+    k=128/64 bands × 2 rows (per-pair miss probability ≤ (1−j²)^64 ≈
+    1e-8 at j=0.5), so LSH recall is total on this data and the banded
+    pipeline equals the brute-force oracle exactly; verification is
+    exact either way, so false positives are impossible.
+    """
     from .operators.dedup_ops import minhash_near_dup_pairs
 
     return minhash_near_dup_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.5
+        _t(spark, sf_dir, "documents"),
+        threshold=0.5, k=128, bands=64, rows_per_band=2,
     )
 
 
-def q_simhash_docs(spark, sf_dir):
-    """SimHash fingerprints + near-dup pairs count per doc."""
-    from .operators.dedup_ops import simhash_col
+SQL_MINHASH_NEAR_DUP = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) >= 3
+           THEN list_transform(range(0, len(toks) - 3 + 1),
+                 i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+           ELSE [array_to_string(toks, ' ')] END) AS sh
+  FROM t
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+FROM s a, s b
+WHERE a.doc_id < b.doc_id
+  AND len(list_intersect(a.sh, b.sh))::DOUBLE
+      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+"""
 
-    return _t(spark, sf_dir, "documents").select(
-        "doc_id", simhash_col(F.col("text")).alias("simhash")
+
+def q_simhash_dup_pairs(spark, sf_dir):
+    """SimHash duplicate detection with a provable oracle contract.
+
+    Input = documents ∪ a word-order-REVERSED twin of every document
+    (doc_id + 100000): same bag of words, different text — exactly the
+    permuted-duplicate class SimHash exists to catch (and exact/md5
+    dedup cannot). Pipeline: 64-bit SimHash (JVM-hashed tokens, numpy
+    voting) → pigeonhole chunk banding at max_hamming=0 → exact
+    token-multiset verify. Identical bags ⇒ identical simhash ⇒
+    recalled by banding (perfect recall at hamming 0); the exact verify
+    removes any 64-bit collisions — so the output EQUALS the
+    SQL-expressible relation "pairs with identical sorted token lists",
+    with simhash/banding doing the candidate pruning at scale.
+    """
+    from .operators.dedup_ops import simhash_near_dup_pairs, tokens_col
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(F.reverse(tokens_col(F.col("text"))), " ").alias("text"),
     )
+    all_docs = docs.unionByName(twins)
+    pairs = simhash_near_dup_pairs(all_docs, max_hamming=0)
+    bags = all_docs.select(
+        F.col("doc_id"), F.array_sort(tokens_col(F.col("text"))).alias("bag")
+    )
+    return (
+        pairs.join(
+            bags.select(F.col("doc_id").alias("id_a"), F.col("bag").alias("_ba")),
+            "id_a",
+        )
+        .join(
+            bags.select(F.col("doc_id").alias("id_b"), F.col("bag").alias("_bb")),
+            "id_b",
+        )
+        .filter(F.col("_ba") == F.col("_bb"))
+        .select("id_a", "id_b")
+    )
+
+
+SQL_SIMHASH_DUP_PAIRS = r"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000,
+         array_to_string(list_reverse(list_filter(
+           regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+           x -> x <> '')), ' ')
+  FROM documents
+), t AS (
+  SELECT doc_id,
+         list_sort(list_filter(
+           regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+           x -> x <> '')) AS bag
+  FROM base
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM t a JOIN t b ON a.bag = b.bag AND a.doc_id < b.doc_id
+"""
 
 
 def q_srp_near_dup(spark, sf_dir):
-    """SRP-LSH embedding near-dup pairs (exact-cosine verified)."""
+    """SRP-LSH embedding near-dup pairs, exact-cosine verified.
+
+    Oracle = exact all-pairs cosine ≥ 0.4 (DuckDB list_dot_product).
+    SRP banding runs at 32 chunks × 2 bits (per-pair miss probability
+    (1−(1−θ/π)²)^32 ≈ 1e-7 at the 0.4 boundary), so recall is total on
+    this data; the exact verify removes band false positives — banded
+    output equals the brute-force oracle.
+    """
     from .operators.similarity_ops import srp_lsh_near_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()["embedding"])
     # driver embeddings are near-orthogonal random vectors (max pairwise
     # cos ≈ 0.51 at sf0.01) — 0.4 yields a small non-empty pair set
-    return srp_lsh_near_dup_pairs(emb, dim=dim, threshold=0.4, n_chunks=16)
+    return srp_lsh_near_dup_pairs(emb, dim=dim, threshold=0.4, n_chunks=32)
+
+
+SQL_SRP_NEAR_DUP = """
+WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
+FROM q a, q b
+WHERE a.vec_id < b.vec_id
+  AND round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.4
+"""
 
 
 def q_doc_fingerprint(spark, sf_dir):
-    """Order-insensitive n-gram document fingerprint."""
+    """Order-insensitive n-gram document fingerprint (md5 over the
+    sorted distinct 4-gram set — recomputed verbatim by the oracle)."""
     from .functions.text import fingerprint_col
 
     return _t(spark, sf_dir, "documents").select(
@@ -618,9 +727,31 @@ def q_doc_fingerprint(spark, sf_dir):
     )
 
 
+SQL_DOC_FINGERPRINT = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(
+         list_transform(range(0, greatest(len(toks) - 4, 0) + 1),
+                        i -> array_to_string(list_slice(toks, i + 1, i + 4), ' '))
+       )), '|')) AS fp
+FROM t
+"""
+
+
 def q_multimodal_decode_verify(spark, sf_dir):
-    """Image decode + PSNR/caption invariant over the documents-derived
-    corpus (input_hint contract); returns per-format pass counts."""
+    """Image decode + verify invariant over the documents-derived
+    corpus (input_hint contract): every payload must decode (PSNR ≥
+    40 dB lossy / exact lossless) with caption == caption_for(url).
+
+    The Spark side actually decodes every image (mapInPandas, Arrow);
+    the oracle states the invariant from the documents table alone —
+    per-format counts where n == n_ok == n_caption_ok.
+    """
     from .corpus import corpus_from_documents
     from .operators.multimodal import decode_verify
 
@@ -632,9 +763,15 @@ def q_multimodal_decode_verify(spark, sf_dir):
             F.count("*").alias("n"),
             F.count(F.when(F.col("ok"), 1)).alias("n_ok"),
             F.count(F.when(F.col("caption_ok"), 1)).alias("n_caption_ok"),
-            F.round(F.min("psnr_db"), 1).alias("min_psnr_db"),
         )
     )
+
+
+SQL_MULTIMODAL_DECODE_VERIFY = """
+SELECT CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'qjpg' END AS fmt,
+       count(*) AS n, count(*) AS n_ok, count(*) AS n_caption_ok
+FROM documents GROUP BY 1
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -668,6 +805,11 @@ _ORACLE: dict[str, str] = {
     "embedding_norms": SQL_EMBEDDING_NORMS,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "ivf_ann_topk": SQL_IVF_ANN_TOPK,
+    "minhash_near_dup": SQL_MINHASH_NEAR_DUP,
+    "simhash_dup_pairs": SQL_SIMHASH_DUP_PAIRS,
+    "srp_near_dup": SQL_SRP_NEAR_DUP,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "multimodal_decode_verify": SQL_MULTIMODAL_DECODE_VERIFY,
 }
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -697,9 +839,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_norms": q_embedding_norms,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ivf_ann_topk": q_ivf_ann_topk,
-    # rows-only (non-SQL-expressible; exactness proven in pytest)
     "minhash_near_dup": q_minhash_near_dup,
-    "simhash_docs": q_simhash_docs,
+    "simhash_dup_pairs": q_simhash_dup_pairs,
     "srp_near_dup": q_srp_near_dup,
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_decode_verify": q_multimodal_decode_verify,

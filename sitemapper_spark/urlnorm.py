@@ -22,7 +22,7 @@ on the Spark side.
 
 from __future__ import annotations
 
-from urllib.parse import urlsplit
+from urllib.parse import unquote, urlsplit
 
 __all__ = [
     "go_path_clean",
@@ -37,10 +37,15 @@ __all__ = [
 # Go net/url rejects ASCII control characters outright.
 _CTRL = {chr(c) for c in range(0x21)} | {chr(0x7F)}
 _CTRL -= {" "}  # space is escaped by Go's parser, not rejected
-# Characters Go's EscapedPath leaves unescaped in path mode (encodePath).
+# Characters Go's shouldEscape(c, encodePath) KEEPS: unreserved (§2.3)
+# plus the reserved set "$&+,/:;=?@" minus '?' (escaped in path mode).
+# Everything else — including the sub-delims !'()* and a literal '%'
+# from a decoded %25 — is percent-escaped with UPPERCASE hex, exactly
+# like Go's URL.String() on a {Scheme, Host, Path}-only struct (which
+# has no RawPath and therefore re-escapes the decoded Path).
 _PATH_SAFE = (
     "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
-    "-._~$&+,/;:=?@!'()*%"
+    "-._~$&+,/:;=@"
 )
 
 
@@ -105,11 +110,18 @@ def parse_url(raw: str) -> tuple[str, str, str] | None:
     host = sp.netloc
     if "@" in host:
         host = host.rsplit("@", 1)[1]
-    return scheme, host, sp.path
+    # Go's url.Parse DECODES the path into URL.Path (RawPath is dropped
+    # when the reference rebuilds url.URL{Scheme, Host, Path}), so an
+    # encoded slash '%2F' becomes a real path separator and '%c3%a9'
+    # round-trips through the decoded character. surrogateescape keeps
+    # non-UTF-8 percent sequences byte-exact, as Go's byte strings do.
+    path = unquote(sp.path, errors="surrogateescape")
+    return scheme, host, path
 
 
 def _escape_path(path: str) -> str:
-    """Go ``URL.EscapedPath()`` for already-mostly-clean paths."""
+    """Go ``URL.EscapedPath()`` on a decoded Path (no RawPath):
+    re-escape with ``shouldEscape(c, encodePath)``, uppercase hex."""
     if all(c in _PATH_SAFE for c in path):
         return path
     out = []
@@ -117,7 +129,9 @@ def _escape_path(path: str) -> str:
         if ch in _PATH_SAFE:
             out.append(ch)
         else:
-            out.extend("%%%02X" % b for b in ch.encode("utf-8"))
+            out.extend(
+                "%%%02X" % b for b in ch.encode("utf-8", "surrogateescape")
+            )
     return "".join(out)
 
 

