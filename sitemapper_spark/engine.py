@@ -105,12 +105,26 @@ class CrawlConfig:
     bloom_shards: int = 1  # >1 → distributed sharded filter (the
     # 10^10-URL path: shard bitsets live as parquet rows, probed via
     # cogroup-applyInPandas, never driver-held/broadcast whole)
-    broadcast_fetch_max: int | None = 2_000_000  # max dequeued rows for the
+    broadcast_fetch_max: int | None = 100_000  # max dequeued rows for the
     # broadcast fetch path: when this round's dequeued count is within
     # the threshold, the corpus is semi-join-pruned and the matched
     # slice broadcast (corpus never shuffles); above it — or with
     # None — the fetch falls back to a shuffle join (the
-    # >broadcast-memory frontier path; bucket the corpus by url there)
+    # >broadcast-memory frontier path; bucket the corpus by url there).
+    # Default measured, not guessed: at 500k-row rounds the broadcast
+    # path built a ~300 MB driver hash relation per round — serial
+    # build + humongous-allocation GC storms made the whole round 2x
+    # slower AND 3x noisier than the shuffle join (55.7s vs 29.7s best
+    # warm pass at local[32] on the 1M-page mega bench). 100k rows
+    # (~60 MB with out_links) keeps the broadcast win for small rounds
+    # without entering that regime.
+    image_keys_broadcast_max: int | None = 20_000_000  # max dequeued
+    # rows for broadcasting the urls-only key slice that prunes the
+    # image corpus before decode. Separate from broadcast_fetch_max:
+    # the fetch broadcast carries out_links (~10x wider), so it must
+    # fall back to a shuffle join long before the bare-url broadcast
+    # does — and the image semi-join must NOT follow it into a
+    # shuffle, which would move the `bytes` column.
     decode_verify_images: bool = False  # per north_star: each round
     # fetch/decodes the image payload of visited pages and appends image
     # rows (url, phash, ok, psnr_db, caption_ok); bytes are read from
@@ -389,7 +403,7 @@ class CrawlEngine:
             # root (lexicographic min) so round-0 canonicalization uses
             # the SAME scheme/host as every later round; duplicate seed
             # rows are deduped (first-wins — they are identical URLs).
-            frontier = (
+            seed_plan = (
                 self.seeds_to_frontier(seeds)
                 .drop("root")
                 .join(roots_map, "sitemap_id")
@@ -399,6 +413,17 @@ class CrawlEngine:
                 .dropDuplicates(["sitemap_id", "url"])
                 .select(*[f.name for f in FRONTIER_SCHEMA.fields])
             )
+            # Materialize ONCE: the loop below consumes the frontier at
+            # least twice (isEmpty probe + the dequeue/visited chain);
+            # an unmaterialized seed plan would re-run its
+            # dropDuplicates shuffle for each — measured as double
+            # round-0 latency on 500k-seed mega rounds. Rounds >= 1 get
+            # this for free from the frontier_next checkpoint.
+            frontier = self._write(
+                seed_plan.repartition(npart, "host_hash", "salt"),
+                0,
+                "frontier_seed",
+            )
             visited_rounds = []
 
         round_no = start_round
@@ -406,7 +431,6 @@ class CrawlEngine:
             t_round = time.perf_counter()
             if frontier.isEmpty():
                 break
-            frontier = frontier.repartition(npart, "host_hash", "salt")
 
             # 1) politeness dequeue (F3/F10): top-priority per host,
             #    deterministic carry-over instead of random backoff
@@ -445,11 +469,21 @@ class CrawlEngine:
                 # append discovered edges plus image rows"). The bytes
                 # column flows scan → mapInPandas → per-round parquet,
                 # never through a shuffle: the corpus is pruned with a
-                # broadcast semi-join on the dequeued URLs first.
+                # broadcast semi-join on the dequeued URLs first. The
+                # keys slice is urls-only (tens of bytes/row), so it
+                # stays broadcastable far past the point where the
+                # full fetch broadcast (urls + out_links) must fall
+                # back to a shuffle join — hence its own threshold.
+                # Past image_keys_broadcast_max (10^9-row dequeues),
+                # co-locate corpus and frontier by url bucket instead:
+                # a shuffle semi-join here would move `bytes`.
                 from .operators.multimodal import decode_verify
 
                 keys = dequeued.select("url")
-                if bcast_fetch:
+                if (
+                    cfg.image_keys_broadcast_max is None
+                    or n_dequeued <= cfg.image_keys_broadcast_max
+                ):
                     keys = F.broadcast(keys)
                 img_pages = self.image_side.join(keys, "url", "left_semi")
                 image_rows = decode_verify(img_pages)
@@ -664,8 +698,18 @@ class CrawlEngine:
                 "parent",
                 F.lit(round_no + 1).alias("round"),
             )
+            # The frontier table's STORAGE partitioning is by
+            # (host_hash, salt) per the north_rule — hot hosts spread
+            # across salt buckets at rest. This is also the loop's ONLY
+            # frontier repartition: the politeness windows and joins
+            # shuffle on their own keys, so a round-start repartition
+            # would be a second full-frontier exchange for nothing.
             frontier = self._write(
-                carry.unionByName(survivors), round_no, "frontier_next"
+                carry.unionByName(survivors).repartition(
+                    npart, "host_hash", "salt"
+                ),
+                round_no,
+                "frontier_next",
             )
             if image_thread is not None:
                 image_thread.join()  # before dequeued is unpersisted

@@ -236,20 +236,32 @@ class TestCustomPriority:
 
 def test_broadcast_threshold_fallback_identical(spark, tmp_path):
     """broadcast_fetch_max=0 forces the shuffle-join fetch path; the
-    crawl output must be identical to the broadcast path."""
+    crawl output must be identical to the broadcast path, and the
+    per-round image decode+verify must still run (the urls-only image
+    key slice keeps its own broadcast threshold — decoupled from the
+    fetch broadcast so the `bytes` column never follows the fetch into
+    a shuffle)."""
+    import os
+
     corpus = cm.testsite_corpus(spark)
     root = cm.testsite_root()
 
     def crawl(tag, bmax):
         cfg = CrawlConfig(
             max_depth=5, use_bloom=False, num_partitions=4,
-            broadcast_fetch_max=bmax, checkpoint_dir=str(tmp_path / tag),
+            broadcast_fetch_max=bmax, decode_verify_images=True,
+            checkpoint_dir=str(tmp_path / tag),
         )
         return CrawlEngine(spark, corpus, cfg).run([(root, "b", 5, 0.0)])
 
-    a = crawl("bcast", 2_000_000).adjacency_dict("b")
-    b = crawl("shuffle", 0).adjacency_dict("b")
+    ra, rb = crawl("bcast", 2_000_000), crawl("shuffle", 0)
+    a, b = ra.adjacency_dict("b"), rb.adjacency_dict("b")
     assert a == b and len(a) == 7
+    for res in (ra, rb):
+        img = spark.read.parquet(
+            os.path.join(res.checkpoint_dir, "round=00000", "images")
+        )
+        assert img.filter("ok").count() > 0
 
 
 def test_seed_root_collapse_and_dedup(spark, tmp_path):

@@ -63,6 +63,7 @@ mode = sys.argv[3]
 n_passes = int(sys.argv[4])
 fetch_shape = sys.argv[5]
 n_pages = int(sys.argv[6])
+shuffle_parts = int(sys.argv[7]) if sys.argv[7] != "auto" else cpus
 
 
 def cpu_times():
@@ -76,7 +77,7 @@ def cpu_times():
 
 
 spark = get_spark("scale_%%d" %% cpus, master="local[%%d]" %% cpus,
-                  shuffle_partitions=cpus,
+                  shuffle_partitions=shuffle_parts,
                   extra_conf={"spark.ui.showConsoleProgress": "false",
                               "spark.sql.files.maxPartitionBytes": "32m"})
 corpus = spark.read.parquet(corpus_path)
@@ -149,13 +150,13 @@ def prewarm_page_cache(corpus_path: str) -> None:
 
 
 def run_level(cpus: int, corpus_path: str, mode: str, passes: int,
-              fetch_shape: str) -> list[dict]:
+              fetch_shape: str, partitions: str = "auto") -> list[dict]:
     prewarm_page_cache(corpus_path)
     script = WORKER % {"repo": REPO}
     n_pages = int(corpus_path.split("_p")[1].split("_")[0])
     cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c",
            script, str(cpus), corpus_path, mode, str(passes), fetch_shape,
-           str(n_pages)]
+           str(n_pages), partitions]
     out = subprocess.run(
         cmd, capture_output=True, text=True, timeout=7200, cwd=REPO,
         env={**os.environ, "SPARK_GRAFT_DRIVER_MEM": "24g"},
@@ -179,6 +180,7 @@ def main() -> None:
     mode = flags.get("--mode", "mega") or "mega"
     passes = int(flags.get("--passes", "3") or 3)
     fetch_shape = flags.get("--fetch", "broadcast") or "broadcast"
+    partitions = flags.get("--partitions", "auto") or "auto"
 
     sys.path.insert(0, REPO)
     from sitemapper_spark.corpus import synth_corpus
@@ -195,7 +197,8 @@ def main() -> None:
         ).write.mode("overwrite").parquet(corpus_path)
         spark.stop()
 
-    levels_out = {c: run_level(c, corpus_path, mode, passes, fetch_shape)
+    levels_out = {c: run_level(c, corpus_path, mode, passes, fetch_shape,
+                               partitions)
                   for c in levels}
     digests = {r["sha256_visited"] for rs in levels_out.values() for r in rs}
     assert len(digests) == 1, "crawl output differs across parallelism levels!"
@@ -221,6 +224,7 @@ def main() -> None:
         "mode": mode,
         "fetch": fetch_shape,
         "passes": passes,
+        "partitions": partitions,
         "n_pages": n_pages,
         "n_hosts": n_hosts,
         "img": f"{img_w}x{img_h}",
