@@ -100,6 +100,12 @@ class CrawlConfig:
     per_host_budget: int | None = None  # None = unlimited (reference parity)
     use_html_extraction: bool = False  # parse html vs pre-materialized out_links
     use_bloom: bool = True
+    seen_filter: str = "bloom"  # "bloom" | "cuckoo" — the advisory
+    # pre-filter implementation. Cuckoo (operators/cuckoo.py) trades a
+    # slightly costlier insert for deletion support (re-flight /
+    # recrawl workflows) and a lower FP rate per bit at high load;
+    # split semantics are identical (advisory-only, exact anti-join
+    # confirms). Sharded mode (bloom_shards > 1) is bloom-only.
     bloom_min_visited: int = 4096  # below this the exact anti-join is cheaper
     bloom_expected_urls: int = 2_000_000  # sizes the cumulative filter once
     bloom_shards: int = 1  # >1 → distributed sharded filter (the
@@ -297,6 +303,14 @@ class CrawlEngine:
                     ignore_errors=True,
                 )
             self._bloom_version += 1
+        elif self.config.seen_filter == "cuckoo":
+            from .operators.cuckoo import build_cuckoo
+
+            delta = build_cuckoo(
+                vh, "_h", n_buckets=self._cuckoo.n_buckets,
+                bucket_size=self._cuckoo.bucket_size,
+            )
+            self._cuckoo = self._cuckoo.merge(delta)
         else:
             delta = build_bloom(vh, "_h", m_bits=self._bloom.m_bits, k=self._bloom.k)
             self._bloom = self._bloom.merge(delta)
@@ -378,6 +392,10 @@ class CrawlEngine:
         self._bloom = BloomFilter.sized_for(cfg.bloom_expected_urls)
         self._bloom_shards = None
         self._bloom_version = 0
+        if cfg.seen_filter == "cuckoo":
+            from .operators.cuckoo import CuckooFilter
+
+            self._cuckoo = CuckooFilter.sized_for(cfg.bloom_expected_urls)
         if cfg.bloom_shards > 1:
             proto = BloomFilter.sized_for(
                 max(1, cfg.bloom_expected_urls // cfg.bloom_shards)
@@ -636,6 +654,12 @@ class CrawlEngine:
                     fresh, maybe_seen = split_by_bloom_shards(
                         candidates, "_h", self._bloom_shards,
                         cfg.bloom_shards, self._shard_m_bits, self._shard_k,
+                    )
+                elif cfg.seen_filter == "cuckoo":
+                    from .operators.cuckoo import split_by_cuckoo
+
+                    fresh, maybe_seen = split_by_cuckoo(
+                        candidates, "_h", self._cuckoo
                     )
                 else:
                     fresh, maybe_seen = split_by_bloom(candidates, "_h", self._bloom)
