@@ -37,7 +37,7 @@ Protocol (round-2; each item root-caused from a measured distortion):
 
 Usage: python tools/bench_scaling.py [n_pages] [n_hosts] [img_w img_h]
        [--levels=8,32] [--mode=mega|rounds] [--passes=3]
-       [--fetch=broadcast|shuffle]
+       [--fetch=broadcast|shuffle|bucketed]
 """
 
 from __future__ import annotations
@@ -82,6 +82,22 @@ spark = get_spark("scale_%%d" %% cpus, master="local[%%d]" %% cpus,
                               "spark.sql.files.maxPartitionBytes": "32m"})
 corpus = spark.read.parquet(corpus_path)
 
+if fetch_shape == "bucketed":
+    # The 10^10-frontier fetch layout (SURVEY §1.3): corpus bucketed +
+    # sorted by url, so the per-round fetch SMJ shuffles ONLY the
+    # frontier side (plan asserted in test_plans). Bucket metadata
+    # lives in the session catalog, so each worker registers the table
+    # itself — setup is one-time per JVM and OUTSIDE every timed
+    # window. repartition(nb, url) aligns writer tasks with buckets
+    # (same murmur3 hash) → one file per bucket → SMJ reads pre-sorted.
+    nb = 32
+    tbl = "pages_bkt_%%d" %% cpus
+    spark.sql("DROP TABLE IF EXISTS %%s" %% tbl)
+    (corpus.repartition(nb, "url").write.mode("overwrite")
+     .bucketBy(nb, "url").sortBy("url")
+     .option("path", "/tmp/%%s" %% tbl).saveAsTable(tbl))
+    corpus = spark.table(tbl)
+
 if mode == "mega":
     # production-shaped rounds: seed half the corpus, 2 rounds
     seeds_df = (corpus.filter(F.xxhash64("url") %% 2 == 0)
@@ -99,9 +115,10 @@ else:
     seeds_df = spark.createDataFrame(seeds_rows, SEEDS_SCHEMA)
     max_depth, budget = 4, None
 
-# shuffle shape: force the SMJ fetch path (the 10^10-frontier
-# configuration — no driver-built broadcast of the matched slice)
-bfm = None if fetch_shape == "shuffle" else 2_000_000
+# shuffle/bucketed shapes: force the SMJ fetch path (the 10^10-frontier
+# configuration — no driver-built broadcast of the matched slice);
+# bucketed additionally co-locates the corpus side (no corpus shuffle)
+bfm = 2_000_000 if fetch_shape == "broadcast" else None
 
 results = []
 for i in range(n_passes):
