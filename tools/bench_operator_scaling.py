@@ -26,6 +26,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = r"""
 import json, sys, time
 sys.path.insert(0, %(repo)r)
+
+
+def steal_now():
+    with open("/proc/stat") as f:
+        v = [int(x) for x in f.readline().split()[1:9]]
+    return v[7], sum(v)
+
 from pyspark.sql import functions as F
 from sitemapper_spark.session import get_spark
 from sitemapper_spark.functions.udfs import clean_links_udf
@@ -41,36 +48,54 @@ corpus = spark.read.parquet(path)
 # unfairly: both levels warm identically)
 corpus.select(F.count("url")).collect()
 
-# stage 1: image decode + PSNR/caption verify (mapInPandas, Arrow)
-t0 = time.perf_counter()
-n_ok = decode_verify(corpus).filter(F.col("ok")).count()
-t_decode = time.perf_counter() - t0
+# stage 1: image decode + PSNR/caption verify (mapInPandas, Arrow).
+# Two passes; keep the faster (JIT/python-worker warmup + hypervisor
+# weather — same best-of rule as tools/bench_scaling.py).
+t_decode, steal_decode = None, None
+for _ in range(2):
+    s0, j0 = steal_now()
+    t0 = time.perf_counter()
+    n_ok = decode_verify(corpus).filter(F.col("ok")).count()
+    dt = time.perf_counter() - t0
+    s1, j1 = steal_now()
+    if t_decode is None or dt < t_decode:
+        t_decode = dt
+        steal_decode = round(100.0 * (s1 - s0) / max(1, j1 - j0), 1)
 
 # stage 2: canonicalize + explode + hash-dedup count (pandas UDF + JVM)
-t0 = time.perf_counter()
-cleaned = corpus.withColumn(
-    "links", clean_links_udf(F.col("out_links"), F.col("url"), F.col("final_url"))
-)
-n_links = (
-    cleaned.select(F.explode("links").alias("dst"))
-    .select(F.xxhash64("dst").alias("h"))
-    .agg(F.countDistinct("h").alias("n"))
-    .first()["n"]
-)
-t_canon = time.perf_counter() - t0
+t_canon, steal_canon = None, None
+for _ in range(2):
+    s0, j0 = steal_now()
+    t0 = time.perf_counter()
+    cleaned = corpus.withColumn(
+        "links", clean_links_udf(F.col("out_links"), F.col("url"), F.col("final_url"))
+    )
+    n_links = (
+        cleaned.select(F.explode("links").alias("dst"))
+        .select(F.xxhash64("dst").alias("h"))
+        .agg(F.countDistinct("h").alias("n"))
+        .first()["n"]
+    )
+    dt = time.perf_counter() - t0
+    s1, j1 = steal_now()
+    if t_canon is None or dt < t_canon:
+        t_canon = dt
+        steal_canon = round(100.0 * (s1 - s0) / max(1, j1 - j0), 1)
 
 print(json.dumps({
     "cpus": cpus, "decoded_ok": n_ok, "decode_sec": round(t_decode, 2),
     "decode_rows_per_sec": round(n_ok / t_decode, 1),
     "distinct_links": n_links, "canon_sec": round(t_canon, 2),
     "canon_rows_per_sec": round(n_links / t_canon, 1),
+    "steal_decode_pct": steal_decode, "steal_canon_pct": steal_canon,
 }))
 """
 
 
 def run_level(cpus: int, corpus_path: str) -> dict:
     out = subprocess.run(
-        [sys.executable, "-c", WORKER % {"repo": REPO}, str(cpus), corpus_path],
+        ["taskset", "-c", f"0-{cpus - 1}",
+         sys.executable, "-c", WORKER % {"repo": REPO}, str(cpus), corpus_path],
         capture_output=True, text=True, timeout=3600, cwd=REPO,
         env={**os.environ, "SPARK_GRAFT_DRIVER_MEM": "24g"},
     )
