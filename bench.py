@@ -34,6 +34,13 @@ BENCH_QUERIES = [
     "dedup_normalized",
     "token_count",
     "ann_cosine_topk",
+    # dedup/ANN pipeline family (round-2 verdict #7: catch regressions
+    # in per-round times, not just correctness)
+    "minhash_near_dup",
+    "simhash_dup_pairs",
+    "srp_near_dup",
+    "ivf_ann_topk",
+    "image_near_dup",
 ]
 
 

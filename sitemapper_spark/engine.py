@@ -102,15 +102,17 @@ class CrawlConfig:
     use_bloom: bool = True
     seen_filter: str = "bloom"  # "bloom" | "cuckoo" — the advisory
     # pre-filter implementation. Cuckoo (operators/cuckoo.py) trades a
-    # slightly costlier insert for deletion support (re-flight /
-    # recrawl workflows) and a lower FP rate per bit at high load;
-    # split semantics are identical (advisory-only, exact anti-join
-    # confirms). Sharded mode (bloom_shards > 1) is bloom-only.
+    # slightly costlier insert for deletion support (the expire()/
+    # recrawl workflow deletes in place instead of rebuilding) and a
+    # lower FP rate per bit at high load; split semantics are identical
+    # (advisory-only, exact anti-join confirms). Both implementations
+    # shard (bloom_shards > 1).
     bloom_min_visited: int = 4096  # below this the exact anti-join is cheaper
     bloom_expected_urls: int = 2_000_000  # sizes the cumulative filter once
     bloom_shards: int = 1  # >1 → distributed sharded filter (the
-    # 10^10-URL path: shard bitsets live as parquet rows, probed via
-    # cogroup-applyInPandas, never driver-held/broadcast whole)
+    # 10^10-URL path: shard bitsets/tables live as parquet rows, probed
+    # via cogroup-applyInPandas, never driver-held/broadcast whole;
+    # applies to both seen_filter implementations)
     broadcast_fetch_max: int | None = 100_000  # max dequeued rows for the
     # broadcast fetch path: when this round's dequeued count is within
     # the threshold, the corpus is semi-join-pruned and the matched
@@ -270,47 +272,146 @@ class CrawlEngine:
         return self.spark.read.parquet(*paths)
 
     # ------------------------------------------------------------------
+    def _write_seen_shards(self, merged: DataFrame) -> None:
+        """Persist a new version of the sharded seen filter and retire
+        the previous one (the shards parquet IS the durable filter —
+        resume loads it instead of rebuilding from visited)."""
+        path = self._ckpt("bloom_shards", f"v{self._bloom_version:05d}")
+        merged.write.mode("overwrite").parquet(path)
+        self._bloom_shards = self.spark.read.parquet(path)
+        if self._bloom_version > 0:  # previous version fully merged in
+            shutil.rmtree(
+                self._ckpt("bloom_shards", f"v{self._bloom_version - 1:05d}"),
+                ignore_errors=True,
+            )
+        self._bloom_version += 1
+
+    def _load_seen_shards(self) -> bool:
+        """Resume path: adopt the latest persisted shards version if one
+        exists (saves the full rebuild-from-visited job)."""
+        base = self._ckpt("bloom_shards")
+        if not os.path.isdir(base):
+            return False
+        versions = sorted(
+            int(d[1:]) for d in os.listdir(base) if d.startswith("v")
+        )
+        if not versions:
+            return False
+        self._bloom_shards = self.spark.read.parquet(
+            os.path.join(base, f"v{versions[-1]:05d}")
+        )
+        self._bloom_version = versions[-1] + 1
+        return True
+
+    @staticmethod
+    def _is_cuckoo_full(e: BaseException) -> bool:
+        # executor-side CuckooFull surfaces as a PythonException whose
+        # message embeds the original — match by type then by text
+        from .operators.cuckoo import CuckooFull
+
+        return isinstance(e, CuckooFull) or (
+            "cuckoo filter over capacity" in str(e)
+        )
+
     def _absorb_into_bloom(self, visited_slice: DataFrame) -> None:
         """OR-merge a visited slice's URL hashes into the cumulative
         seen filter.
 
-        Driver mode (``bloom_shards == 1``): per-partition build +
-        treeAggregate into the single driver-held filter.  Sharded mode
-        (``bloom_shards > 1``): the delta is built as (shard_id, words)
-        rows and OR-merged distributedly into the versioned shards
-        parquet — the driver never holds a bitset (the 10^10 path;
-        `operators/bloom.py`)."""
+        Driver mode (``bloom_shards == 1``): per-partition build + tree
+        merge into the single driver-held filter.  Sharded mode
+        (``bloom_shards > 1``): the delta is built as (shard_id, bitset/
+        table) rows and merged distributedly into the versioned shards
+        parquet — the driver never holds a filter (the 10^10 path;
+        `operators/bloom.py` / `operators/cuckoo.py`).
+
+        Over-capacity cuckoo inserts degrade instead of aborting the
+        crawl (the filter is strictly advisory): rebuild at the next
+        power-of-two capacity from the exact visited table, and if even
+        that overflows, disable the pre-filter for the rest of the run
+        (exact anti-join only). The hard ``CuckooFull`` raise is
+        reserved for the standalone-library contract."""
         t0 = time.perf_counter()
         vh = visited_slice.select(
             url_hash_col(F.col("sitemap_id"), F.col("url")).alias("_h")
         )
         if self.config.bloom_shards > 1:
-            delta = build_bloom_shards(
-                vh, "_h", self.config.bloom_shards,
-                self._shard_m_bits, self._shard_k,
-            )
-            merged = (
-                delta
-                if self._bloom_shards is None
-                else merge_bloom_shards(self._bloom_shards, delta)
-            )
-            path = self._ckpt("bloom_shards", f"v{self._bloom_version:05d}")
-            merged.write.mode("overwrite").parquet(path)
-            self._bloom_shards = self.spark.read.parquet(path)
-            if self._bloom_version > 0:  # previous version fully merged in
-                shutil.rmtree(
-                    self._ckpt("bloom_shards", f"v{self._bloom_version - 1:05d}"),
-                    ignore_errors=True,
+            if self.config.seen_filter == "cuckoo":
+                from .operators.cuckoo import (
+                    build_cuckoo_shards,
+                    merge_cuckoo_shards,
                 )
-            self._bloom_version += 1
+
+                delta = build_cuckoo_shards(
+                    vh, "_h", self.config.bloom_shards,
+                    self._shard_cuckoo_buckets,
+                )
+                merged = (
+                    delta
+                    if self._bloom_shards is None
+                    else merge_cuckoo_shards(
+                        self._bloom_shards, delta, self._shard_cuckoo_buckets
+                    )
+                )
+            else:
+                delta = build_bloom_shards(
+                    vh, "_h", self.config.bloom_shards,
+                    self._shard_m_bits, self._shard_k,
+                )
+                merged = (
+                    delta
+                    if self._bloom_shards is None
+                    else merge_bloom_shards(self._bloom_shards, delta)
+                )
+            self._write_seen_shards(merged)
         elif self.config.seen_filter == "cuckoo":
             from .operators.cuckoo import build_cuckoo
 
-            delta = build_cuckoo(
-                vh, "_h", n_buckets=self._cuckoo.n_buckets,
-                bucket_size=self._cuckoo.bucket_size,
-            )
-            self._cuckoo = self._cuckoo.merge(delta)
+            if self._cuckoo is None:  # advisory layer disabled (degraded)
+                return
+            try:
+                delta = build_cuckoo(
+                    vh, "_h", n_buckets=self._cuckoo.n_buckets,
+                    bucket_size=self._cuckoo.bucket_size,
+                )
+                self._cuckoo = self._cuckoo.merge(delta)
+            except Exception as e:  # noqa: BLE001 — degrade on CuckooFull only
+                if not self._is_cuckoo_full(e):
+                    raise
+                all_vh = self._read_rounds(
+                    "visited", getattr(self, "_visited_rounds", [])
+                )
+                rebuilt = None
+                if all_vh is not None:
+                    grow = self._cuckoo.n_buckets * 2
+                    for n_buckets in (grow, grow * 2):
+                        try:
+                            rebuilt = build_cuckoo(
+                                all_vh.select(
+                                    url_hash_col(
+                                        F.col("sitemap_id"), F.col("url")
+                                    ).alias("_h")
+                                ),
+                                "_h",
+                                n_buckets=n_buckets,
+                                bucket_size=self._cuckoo.bucket_size,
+                            )
+                            break
+                        except Exception as e2:  # noqa: BLE001
+                            if not self._is_cuckoo_full(e2):
+                                raise
+                self._cuckoo = rebuilt  # None → advisory layer off
+                print(
+                    "[crawl] WARNING: cuckoo filter over capacity — "
+                    + (
+                        f"rebuilt at {rebuilt.n_buckets} buckets from the "
+                        "visited table (size bloom_expected_urls correctly "
+                        "to avoid this rebuild)"
+                        if rebuilt is not None
+                        else "advisory pre-filter DISABLED for this run "
+                        "(exact anti-join only)"
+                    ),
+                    flush=True,
+                )
         else:
             delta = build_bloom(vh, "_h", m_bits=self._bloom.m_bits, k=self._bloom.k)
             self._bloom = self._bloom.merge(delta)
@@ -319,6 +420,161 @@ class CrawlEngine:
                 f"[crawl]   bloom absorb: {time.perf_counter() - t0:.2f}s",
                 flush=True,
             )
+
+    # ------------------------------------------------------------------
+    def _rewrite_minus(
+        self, round_no: int, name: str, join_keys: list[str],
+        drop_keys: DataFrame,
+    ) -> None:
+        """Rewrite one round artifact without the rows matching
+        ``drop_keys`` (distributed anti-join; tmp-dir + rename swap so a
+        crash mid-rewrite leaves either the old or the new artifact, not
+        a half-written one). A production deployment would use Iceberg
+        row-level deletes here instead of rewriting the round slice —
+        `sources/corpus_io.py` documents the jar constraint."""
+        path = self._ckpt(f"round={round_no:05d}", name)
+        if not os.path.isdir(path):
+            return
+        kept = self.spark.read.parquet(path).join(
+            drop_keys, join_keys, "left_anti"
+        )
+        tmp = path + ".tmp"
+        kept.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(path)
+        os.rename(tmp, path)
+
+    def expire(self, urls: DataFrame | list[tuple[str, str]]) -> int:
+        """Recrawl/delete workflow — the engine-level re-flight analog
+        (`crawlmanager.go:84-89` re-publishes failed URLs; here expiry
+        is explicit and deterministic). For each (sitemap_id, url):
+
+        1. remove its rows from the ``visited`` table and its outgoing
+           edges / image rows (distributed per-round anti-join rewrites);
+        2. delete its key from the seen filter — IN PLACE for the cuckoo
+           paths (driver ``delete_many`` / sharded
+           ``delete_from_cuckoo_shards`` writing a new shards version);
+           a bloom filter cannot delete, so its extra keys remain as
+           advisory false positives (harmless: the exact anti-join
+           confirms against the now-rewritten visited table) until the
+           next full rebuild;
+        3. re-enqueue the URL into the latest ``frontier_next`` (parent =
+           itself, original depth), so ``run(resume=True)`` re-fetches it
+           with an updated round while everything else stays untouched.
+
+        Returns the number of expired visited rows. Must be called on a
+        completed checkpoint (after ``run``)."""
+        spark = self.spark
+        cfg = self.config
+        if not hasattr(self, "_dir"):
+            if cfg.checkpoint_dir is None:
+                raise RuntimeError(
+                    "expire() needs a checkpoint: run() first or set "
+                    "CrawlConfig.checkpoint_dir"
+                )
+            self._dir = cfg.checkpoint_dir
+        if isinstance(urls, list):
+            urls = spark.createDataFrame(urls, "sitemap_id string, url string")
+        urls = urls.select("sitemap_id", "url").dropDuplicates()
+        rounds = self._complete_rounds()
+        if not rounds:
+            raise RuntimeError("expire() needs a completed crawl checkpoint")
+        visited = self._read_rounds("visited", rounds)
+        # Materialize the expiry snapshot to disk FIRST: every later step
+        # (filter delete, re-enqueue) derives from it, and the rewrites
+        # below replace the parquet files it was computed from — a
+        # cache-evicted recompute would otherwise read rewritten state.
+        snap = self._ckpt("_expire_snapshot")
+        visited.join(urls, ["sitemap_id", "url"], "left_semi").write.mode(
+            "overwrite"
+        ).parquet(snap)
+        expired = spark.read.parquet(snap)
+        n_expired = expired.count()
+        if n_expired == 0:
+            shutil.rmtree(snap, ignore_errors=True)
+            return 0
+        last = rounds[-1]
+        priority = F.lit(0.0) - F.lit(cfg.priority_decay) * F.col("depth")
+        re_rows = expired.select(
+            "sitemap_id",
+            F.col("url"),
+            "host",
+            "depth",
+        ).join(
+            visited.filter(F.col("depth") == 0)
+            .groupBy("sitemap_id")
+            .agg(F.min("url").alias("root")),  # collapsed seed root
+            "sitemap_id",
+        ).select(
+            "sitemap_id",
+            "root",
+            "url",
+            "host",
+            F.xxhash64(F.col("host")).alias("host_hash"),
+            F.lit(0).alias("salt"),
+            "depth",
+            priority.cast("double").alias("priority"),
+            F.col("url").alias("parent"),
+            F.lit(last + 1).alias("round"),
+        )
+        # stage the merged frontier while the old state is still intact
+        fpath = self._ckpt(f"round={last:05d}", "frontier_next")
+        ftmp = fpath + ".tmp"
+        (
+            spark.read.parquet(fpath)
+            .unionByName(re_rows)
+            .dropDuplicates(["sitemap_id", "url"])
+            .write.mode("overwrite")
+            .parquet(ftmp)
+        )
+        # seen-filter deletion (cuckoo in place; a bloom cannot delete —
+        # its extra keys stay as harmless advisory false positives)
+        hashes = expired.select(
+            url_hash_col(F.col("sitemap_id"), F.col("url")).alias("_h")
+        )
+        if cfg.seen_filter == "cuckoo" and cfg.bloom_shards > 1:
+            if not hasattr(self, "_shard_cuckoo_buckets"):
+                from .operators.cuckoo import CuckooFilter
+
+                self._shard_cuckoo_buckets = CuckooFilter.sized_for(
+                    max(1, cfg.bloom_expected_urls // cfg.bloom_shards)
+                ).n_buckets
+            if getattr(self, "_bloom_shards", None) is None:
+                self._bloom_version = getattr(self, "_bloom_version", 0)
+                self._load_seen_shards()
+            if self._bloom_shards is not None:
+                from .operators.cuckoo import delete_from_cuckoo_shards
+
+                self._write_seen_shards(
+                    delete_from_cuckoo_shards(
+                        self._bloom_shards, hashes, "_h",
+                        cfg.bloom_shards, self._shard_cuckoo_buckets,
+                    )
+                )
+        elif (
+            cfg.seen_filter == "cuckoo"
+            and getattr(self, "_cuckoo", None) is not None
+        ):
+            import numpy as np
+
+            h = np.array(
+                [r["_h"] for r in hashes.collect()], dtype=np.int64
+            )  # O(expired) — the expiry set is operator-sized, not web-sized
+            self._cuckoo.delete_many(h)
+        # rewrite crawl state minus the expired rows, then swap in the
+        # staged frontier
+        for r in rounds:
+            self._rewrite_minus(r, "visited", ["sitemap_id", "url"], urls)
+            self._rewrite_minus(
+                r, "edges", ["sitemap_id", "src"],
+                urls.select("sitemap_id", F.col("url").alias("src")),
+            )
+            self._rewrite_minus(r, "images", ["url"], urls.select("url"))
+        shutil.rmtree(fpath)
+        os.rename(ftmp, fpath)
+        shutil.rmtree(snap, ignore_errors=True)
+        if hasattr(self, "_visited_total"):
+            self._visited_total = max(0, self._visited_total - n_expired)
+        return n_expired
 
     # ------------------------------------------------------------------
     def seeds_to_frontier(self, seeds: DataFrame) -> DataFrame:
@@ -389,18 +645,54 @@ class CrawlEngine:
             )
         )
 
-        self._bloom = BloomFilter.sized_for(cfg.bloom_expected_urls)
-        self._bloom_shards = None
-        self._bloom_version = 0
-        if cfg.seen_filter == "cuckoo":
-            from .operators.cuckoo import CuckooFilter
+        # A resumed engine that still holds a live filter (e.g. after an
+        # expire() that deleted in place — the whole point of the cuckoo
+        # variant) reuses it instead of rebuilding from the visited
+        # table; any extra keys in a reused filter cost only advisory
+        # false positives, never correctness (exact anti-join confirms).
+        reuse_driver_filter = (
+            resume
+            and cfg.use_bloom
+            and cfg.bloom_shards == 1
+            and getattr(self, "_filter_ready", False)
+            and (
+                getattr(self, "_cuckoo", None) is not None
+                if cfg.seen_filter == "cuckoo"
+                else getattr(self, "_bloom", None) is not None
+            )
+        )
+        if not reuse_driver_filter:
+            self._bloom = BloomFilter.sized_for(cfg.bloom_expected_urls)
+            if cfg.seen_filter == "cuckoo":
+                from .operators.cuckoo import CuckooFilter
 
-            self._cuckoo = CuckooFilter.sized_for(cfg.bloom_expected_urls)
+                self._cuckoo = CuckooFilter.sized_for(cfg.bloom_expected_urls)
+                # driver-mode table size guard: at 10^10 keys the table
+                # is ~34 GB — neither driver-holdable nor broadcastable
+                table_mb = self._cuckoo.table.nbytes / 2**20
+                if table_mb > 512:
+                    print(
+                        f"[crawl] WARNING: driver-mode cuckoo table is "
+                        f"{table_mb:.0f} MB for bloom_expected_urls="
+                        f"{cfg.bloom_expected_urls}; set bloom_shards > 1 "
+                        "(sharded cuckoo) for frontiers this large",
+                        flush=True,
+                    )
         if cfg.bloom_shards > 1:
+            self._bloom_shards = None
+            self._bloom_version = 0
             proto = BloomFilter.sized_for(
                 max(1, cfg.bloom_expected_urls // cfg.bloom_shards)
             )
             self._shard_m_bits, self._shard_k = proto.m_bits, proto.k
+            from .operators.cuckoo import CuckooFilter
+
+            self._shard_cuckoo_buckets = CuckooFilter.sized_for(
+                max(1, cfg.bloom_expected_urls // cfg.bloom_shards)
+            ).n_buckets
+        else:
+            self._bloom_shards = None
+            self._bloom_version = 0
         self._visited_total = 0
 
         done = self._complete_rounds()
@@ -408,11 +700,15 @@ class CrawlEngine:
             start_round = done[-1] + 1
             frontier = self._read_rounds("frontier_next", [done[-1]])
             visited_rounds = done
+            self._visited_rounds = visited_rounds
             prior = self._read_rounds("visited", visited_rounds)
             if prior is not None:
                 self._visited_total = prior.count()
                 if cfg.use_bloom:
-                    self._absorb_into_bloom(prior)
+                    if cfg.bloom_shards > 1 and self._load_seen_shards():
+                        pass  # persisted shards ARE the filter — no rebuild
+                    elif not reuse_driver_filter:
+                        self._absorb_into_bloom(prior)
         else:
             start_round = 0
             # Depth gate at ingestion (F2): a seed with max_depth=0 is
@@ -443,6 +739,7 @@ class CrawlEngine:
                 "frontier_seed",
             )
             visited_rounds = []
+            self._visited_rounds = visited_rounds
 
         round_no = start_round
         while round_no < cfg.max_rounds:
@@ -470,6 +767,7 @@ class CrawlEngine:
                 "visited",
             )
             visited_rounds = visited_rounds + [round_no]
+            self._visited_rounds = visited_rounds
             visited = self._read_rounds("visited", visited_rounds)
             # dequeued row count — a parquet-footer count on the slice
             # just written (cheap, no recompute). Drives the running
@@ -497,12 +795,23 @@ class CrawlEngine:
                 # a shuffle semi-join here would move `bytes`.
                 from .operators.multimodal import decode_verify
 
-                keys = dequeued.select("url")
-                if (
+                if not (
                     cfg.image_keys_broadcast_max is None
                     or n_dequeued <= cfg.image_keys_broadcast_max
                 ):
-                    keys = F.broadcast(keys)
+                    # clamp to always-broadcast: a shuffle semi-join here
+                    # would move `bytes` — the invariant this block exists
+                    # to protect. The real fix past broadcast scale is a
+                    # url-bucketed corpus co-located with the frontier.
+                    print(
+                        f"[crawl] WARNING: dequeued {n_dequeued} rows exceed "
+                        f"image_keys_broadcast_max="
+                        f"{cfg.image_keys_broadcast_max}; broadcasting the "
+                        "url key slice anyway (a shuffle would move bytes). "
+                        "Bucket the corpus by url for dequeues this large.",
+                        flush=True,
+                    )
+                keys = F.broadcast(dequeued.select("url"))
                 img_pages = self.image_side.join(keys, "url", "left_semi")
                 image_rows = decode_verify(img_pages)
                 image_thread = _BgAction(
@@ -649,20 +958,35 @@ class CrawlEngine:
             )
             if bloom_thread is not None:
                 bloom_thread.join()
+            round_bcs: list = []  # filter broadcasts to destroy at round end
+            split = None
             if cfg.use_bloom and self._visited_total >= cfg.bloom_min_visited:
                 if cfg.bloom_shards > 1 and self._bloom_shards is not None:
-                    fresh, maybe_seen = split_by_bloom_shards(
-                        candidates, "_h", self._bloom_shards,
-                        cfg.bloom_shards, self._shard_m_bits, self._shard_k,
-                    )
+                    if cfg.seen_filter == "cuckoo":
+                        from .operators.cuckoo import split_by_cuckoo_shards
+
+                        split = split_by_cuckoo_shards(
+                            candidates, "_h", self._bloom_shards,
+                            cfg.bloom_shards, self._shard_cuckoo_buckets,
+                        )
+                    else:
+                        split = split_by_bloom_shards(
+                            candidates, "_h", self._bloom_shards,
+                            cfg.bloom_shards, self._shard_m_bits, self._shard_k,
+                        )
                 elif cfg.seen_filter == "cuckoo":
                     from .operators.cuckoo import split_by_cuckoo
 
-                    fresh, maybe_seen = split_by_cuckoo(
-                        candidates, "_h", self._cuckoo
+                    if self._cuckoo is not None:  # may be degraded-off
+                        split = split_by_cuckoo(
+                            candidates, "_h", self._cuckoo, bc_out=round_bcs
+                        )
+                elif cfg.bloom_shards == 1:
+                    split = split_by_bloom(
+                        candidates, "_h", self._bloom, bc_out=round_bcs
                     )
-                else:
-                    fresh, maybe_seen = split_by_bloom(candidates, "_h", self._bloom)
+            if split is not None:
+                fresh, maybe_seen = split
                 confirmed = maybe_seen.join(
                     visited.select("sitemap_id", "url"),
                     ["sitemap_id", "url"],
@@ -739,6 +1063,8 @@ class CrawlEngine:
                 image_thread.join()  # before dequeued is unpersisted
             for df in (dequeued, carry, cleaned, survivors_base):
                 df.unpersist()
+            for bc in round_bcs:  # all consumers materialized above
+                bc.destroy()
             self._manifest(
                 round_no,
                 {
@@ -756,6 +1082,10 @@ class CrawlEngine:
                 )
             round_no += 1
 
+        # the filter now reflects the full visited table: a later
+        # expire() can delete from it in place and run(resume=True)
+        # will reuse it instead of rebuilding (cuckoo's raison d'être)
+        self._filter_ready = cfg.use_bloom
         visited = self._read_rounds("visited", visited_rounds)
         edges = self._read_rounds("edges", visited_rounds)
         lineage = self._read_rounds("lineage", visited_rounds)

@@ -156,14 +156,22 @@ def build_bloom(
 
 
 def split_by_bloom(
-    candidates: DataFrame, hash_column: str, bloom: BloomFilter
+    candidates: DataFrame, hash_column: str, bloom: BloomFilter,
+    bc_out: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Split candidates into (provably_unseen, maybe_seen).
 
     Only ``maybe_seen`` needs the exact anti-join against ``visited``.
+
+    ``bc_out``: the per-call bitset broadcast is appended here so the
+    caller can ``destroy()`` it once the round's actions complete — a
+    long crawl would otherwise accumulate one dead ~m/8-byte broadcast
+    per round on the driver and executors.
     """
     spark = candidates.sparkSession
     bc = spark.sparkContext.broadcast((bloom.m_bits, bloom.k, bloom.words))
+    if bc_out is not None:
+        bc_out.append(bc)
 
     @F.pandas_udf(T.BooleanType())
     def maybe_seen_udf(hashes: pd.Series) -> pd.Series:

@@ -41,9 +41,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["CuckooFilter", "build_cuckoo", "split_by_cuckoo"]
+__all__ = [
+    "CuckooFull",
+    "CuckooFilter",
+    "build_cuckoo",
+    "split_by_cuckoo",
+    "build_cuckoo_shards",
+    "merge_cuckoo_shards",
+    "delete_from_cuckoo_shards",
+    "split_by_cuckoo_shards",
+]
 
 _FP_MUL = np.uint64(0x5BD1E995)  # fp → alt-bucket mix (MurmurHash2 M)
+
+
+class CuckooFull(RuntimeError):
+    """MAX_KICKS exhausted — the filter is over capacity.
+
+    Standalone-library contract: the raise is hard (callers sized the
+    filter; silent degradation would hide a sizing bug), and the filter
+    may have lost the one in-flight evicted fingerprint, so a caller
+    that catches this must treat the instance as corrupt. The crawl
+    engine catches it and degrades gracefully instead (rebuild bigger
+    from the exact visited table, else disable the advisory pre-filter
+    — the filter is strictly advisory, so a crash is never necessary).
+    """
 
 
 class CuckooFilter:
@@ -142,7 +164,7 @@ class CuckooFilter:
                     self._alt(np.array([cur_i]), np.array([cur_fp]))[0]
                 )
             else:
-                raise RuntimeError(
+                raise CuckooFull(
                     "cuckoo filter over capacity — size with sized_for()"
                 )
 
@@ -254,15 +276,190 @@ def build_cuckoo(
     return CuckooFilter(n_buckets, bucket_size, table)
 
 
+# ---------------------------------------------------------------------------
+# Sharded (distributed) variant — the 10^10-URL deletion-capable path.
+#
+# The driver-held filter above caps at driver memory: at 10^10 URLs a
+# 4-slot/bucket uint16 table is ~34 GB — neither driver-holdable nor
+# broadcastable. Exactly like `bloom.build_bloom_shards`, the key space
+# is partitioned by a REMIXED hash (`bloom.shard_col`: xxhash64-remix →
+# pmod, independent of the raw-hash bits that pick in-filter buckets)
+# into ``n_shards`` independent cuckoo tables stored as ROWS
+# ``(shard_id int, table binary)``; build, merge, probe, AND DELETE are
+# all executor-side cogroup/applyInPandas jobs — the driver never holds
+# a table. Per-executor memory is one shard's table at a time, so the
+# advisory layer (and its deletions) keep working at any frontier scale.
+#
+# The slot-level partial-key property is what makes the sharded merge
+# and delete transfer directly from the driver-mode code: a slot in
+# bucket b with fingerprint f belongs at b or alt(b, f), with no need
+# for the original keys.
+# ---------------------------------------------------------------------------
+
+
+def _table_of(row_bytes, n_buckets: int, bucket_size: int) -> "CuckooFilter":
+    return CuckooFilter(
+        n_buckets,
+        bucket_size,
+        np.frombuffer(bytes(row_bytes), dtype=np.uint16)
+        .reshape(n_buckets, bucket_size)
+        .copy(),
+    )
+
+
+def build_cuckoo_shards(
+    df: DataFrame,
+    hash_column: str,
+    n_shards: int,
+    n_buckets: int,
+    bucket_size: int = 4,
+) -> DataFrame:
+    """(shard_id, table) cuckoo rows from a hash column. ``n_buckets``
+    sizes EACH shard's table."""
+    from .bloom import shard_col
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        cf = CuckooFilter(n_buckets, bucket_size)
+        cf.add_many(pdf[hash_column].to_numpy(dtype=np.int64))
+        return pd.DataFrame(
+            {"shard_id": [int(pdf["_shard"].iloc[0])],
+             "table": [cf.table.tobytes()]}
+        )
+
+    return (
+        df.select(hash_column)
+        .withColumn("_shard", shard_col(F.col(hash_column), n_shards))
+        .groupBy("_shard")
+        .applyInPandas(build, schema="shard_id int, table binary")
+    )
+
+
+def merge_cuckoo_shards(
+    a: DataFrame, b: DataFrame, n_buckets: int, bucket_size: int = 4
+) -> DataFrame:
+    """Merge two (shard_id, table) cuckoo tables slot-wise (shards
+    missing on one side pass through; each round ships only the delta)."""
+
+    def mrg(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = None
+        for t in pdf["table"]:
+            cf = _table_of(t, n_buckets, bucket_size)
+            out = cf if out is None else out.merge(cf)
+        return pd.DataFrame(
+            {"shard_id": [int(pdf["shard_id"].iloc[0])],
+             "table": [out.table.tobytes()]}
+        )
+
+    return (
+        a.unionByName(b)
+        .groupBy("shard_id")
+        .applyInPandas(mrg, schema="shard_id int, table binary")
+    )
+
+
+def delete_from_cuckoo_shards(
+    shards: DataFrame,
+    hashes: DataFrame,
+    hash_column: str,
+    n_shards: int,
+    n_buckets: int,
+    bucket_size: int = 4,
+) -> DataFrame:
+    """Distributed deletion: remove the given key hashes from their
+    shards' tables (cogroup — each task holds exactly one shard table).
+
+    Same contract as :meth:`CuckooFilter.delete_many`: only pass keys
+    that were inserted. Shards with no deletions pass through unchanged;
+    hashes routed to a shard that has no table yet are ignored (nothing
+    to delete)."""
+    from .bloom import shard_col
+
+    h = hashes.select(hash_column).withColumn(
+        "shard_id", shard_col(F.col(hash_column), n_shards)
+    )
+
+    def dele(spdf: pd.DataFrame, hpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(spdf) == 0:  # no table for this shard: nothing to delete
+            return pd.DataFrame({"shard_id": [], "table": []}).astype(
+                {"shard_id": "int32"}
+            )
+        cf = _table_of(spdf["table"].iloc[0], n_buckets, bucket_size)
+        if len(hpdf):
+            cf.delete_many(hpdf[hash_column].to_numpy(dtype=np.int64))
+        return pd.DataFrame(
+            {"shard_id": [int(spdf["shard_id"].iloc[0])],
+             "table": [cf.table.tobytes()]}
+        )
+
+    return (
+        shards.groupBy("shard_id")
+        .cogroup(h.groupBy("shard_id"))
+        .applyInPandas(dele, schema="shard_id int, table binary")
+    )
+
+
+def split_by_cuckoo_shards(
+    candidates: DataFrame,
+    hash_column: str,
+    shards: DataFrame,
+    n_shards: int,
+    n_buckets: int,
+    bucket_size: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """Sharded probe: co-group candidates with their shard's table.
+
+    Returns (provably_unseen, maybe_seen) exactly like
+    :func:`split_by_cuckoo`; candidates whose shard has no table yet are
+    provably unseen."""
+    from .bloom import shard_col
+
+    cand = candidates.withColumn(
+        "_shard", shard_col(F.col(hash_column), n_shards)
+    )
+    out_schema = T.StructType(
+        cand.schema.fields + [T.StructField("_maybe_seen", T.BooleanType())]
+    )
+    col_names = [f.name for f in out_schema.fields]
+
+    def probe(cpdf: pd.DataFrame, spdf: pd.DataFrame) -> pd.DataFrame:
+        cpdf = cpdf.copy()
+        if len(cpdf) == 0:
+            cpdf["_maybe_seen"] = np.zeros(0, dtype=bool)
+            return cpdf[col_names] if set(col_names) <= set(cpdf.columns) else cpdf
+        if len(spdf) == 0:
+            cpdf["_maybe_seen"] = False
+            return cpdf
+        cf = _table_of(spdf["table"].iloc[0], n_buckets, bucket_size)
+        cpdf["_maybe_seen"] = cf.contains_many(
+            cpdf[hash_column].to_numpy(dtype=np.int64)
+        )
+        return cpdf
+
+    flagged = (
+        cand.groupBy("_shard")
+        .cogroup(shards.groupBy("shard_id"))
+        .applyInPandas(probe, schema=out_schema)
+    )
+    return (
+        flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen", "_shard"),
+        flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen", "_shard"),
+    )
+
+
 def split_by_cuckoo(
-    candidates: DataFrame, hash_column: str, cf: CuckooFilter
+    candidates: DataFrame, hash_column: str, cf: CuckooFilter,
+    bc_out: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Split candidates into (provably_unseen, maybe_seen) — drop-in
-    for :func:`bloom.split_by_bloom`."""
+    for :func:`bloom.split_by_bloom`. ``bc_out`` collects the per-call
+    table broadcast for end-of-round ``destroy()`` (same leak fix as
+    ``split_by_bloom``)."""
     spark = candidates.sparkSession
     bc = spark.sparkContext.broadcast(
         (cf.n_buckets, cf.bucket_size, cf.table)
     )
+    if bc_out is not None:
+        bc_out.append(bc)
 
     @F.pandas_udf(T.BooleanType())
     def maybe_seen_udf(hashes: pd.Series) -> pd.Series:

@@ -27,6 +27,7 @@ __all__ = [
     "minhash_near_dup_pairs",
     "simhash_col",
     "simhash_near_dup_pairs",
+    "hamming_band_pairs",
 ]
 
 # Mersenne-31 keeps a*h + b < 2^62: no int64 overflow under Spark 4's
@@ -272,6 +273,57 @@ def simhash_col(text: Column, seed: int = 42) -> Column:
     return _vote(hashes)
 
 
+def hamming_band_pairs(
+    hashed: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs of a 64-bit hash column via pigeonhole chunk
+    banding + popcount verify — the shared scale core of SimHash text
+    dedup and phash image dedup.
+
+    The hash is split into ``max_hamming + 1`` chunks (≤16): by
+    pigeonhole, any pair within the hamming budget shares at least one
+    identical chunk, so banding has PERFECT recall up to ``max_hamming``
+    ≤ 15; the popcount verify (JVM bit ops) removes band false
+    positives — output == brute-force pairs, but the self-join shuffles
+    only (id, chunk_id, chunk) keys, never all-pairs. All pure Catalyst.
+    """
+    n_chunks = min(16, max_hamming + 1)
+    width = 64 // n_chunks
+    chunk_exprs = []
+    for c in range(n_chunks):
+        w = width if c < n_chunks - 1 else 64 - width * (n_chunks - 1)
+        shifted = F.shiftrightunsigned(F.col(hash_col), width * c)
+        if w >= 64:  # single-chunk case (max_hamming=0): whole hash
+            chunk_exprs.append(shifted)
+        else:
+            chunk_exprs.append(shifted.bitwiseAND(F.lit((1 << w) - 1)))
+    chunks = hashed.select(
+        F.col(id_col), F.col(hash_col).alias("_hh"),
+        F.posexplode(F.array(*chunk_exprs)).alias("chunk_id", "chunk"),
+    )
+    left = chunks.select(
+        F.col(id_col).alias("id_a"), F.col("_hh").alias("h_a"),
+        "chunk_id", "chunk",
+    )
+    right = chunks.select(
+        F.col(id_col).alias("id_b"), F.col("_hh").alias("h_b"),
+        "chunk_id", "chunk",
+    )
+    cand = (
+        left.join(right, ["chunk_id", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return cand.withColumn("hamming", hamming).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")
+
+
 def simhash_near_dup_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -279,43 +331,9 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     seed: int = 42,
 ) -> DataFrame:
-    """SimHash near-dup via chunk banding + exact verify.
-
-    The 64-bit hash is split into ``max_hamming + 1`` chunks (≤16):
-    by pigeonhole, any pair within the hamming budget shares at least
-    one identical chunk, so banding has PERFECT recall up to
-    ``max_hamming`` ≤ 15; the popcount verify (JVM bit ops) removes
-    band false positives — output == brute-force pairs."""
-    n_chunks = min(16, max_hamming + 1)
-    width = 64 // n_chunks
+    """SimHash near-dup via chunk banding + exact verify (see
+    :func:`hamming_band_pairs` for the recall/precision argument)."""
     hashed = docs.select(
         F.col(id_col), simhash_col(F.col(text_col), seed).alias("sh")
     ).persist()
-    chunk_exprs = []
-    for c in range(n_chunks):
-        w = width if c < n_chunks - 1 else 64 - width * (n_chunks - 1)
-        shifted = F.shiftrightunsigned(F.col("sh"), width * c)
-        if w >= 64:  # single-chunk case (max_hamming=0): whole hash
-            chunk_exprs.append(shifted)
-        else:
-            chunk_exprs.append(shifted.bitwiseAND(F.lit((1 << w) - 1)))
-    chunks = hashed.select(
-        id_col, "sh",
-        F.posexplode(F.array(*chunk_exprs)).alias("chunk_id", "chunk"),
-    )
-    left = chunks.select(
-        F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), "chunk_id", "chunk"
-    )
-    right = chunks.select(
-        F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), "chunk_id", "chunk"
-    )
-    cand = (
-        left.join(right, ["chunk_id", "chunk"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cand.withColumn("hamming", hamming).filter(
-        F.col("hamming") <= max_hamming
-    ).select("id_a", "id_b", "hamming")
+    return hamming_band_pairs(hashed, id_col, "sh", max_hamming)

@@ -82,6 +82,7 @@ def srp_signature_col(
     """Signed-random-projection bit signature (one numpy matmul per
     Arrow batch — the vectorized slow-path done right)."""
     planes = _srp_planes(dim, n_bits, seed)
+    assert n_bits <= 64, "signature column is a single int64"
 
     @F.pandas_udf(T.LongType())
     def _sig(vs: pd.Series) -> pd.Series:
@@ -89,10 +90,18 @@ def srp_signature_col(
             return pd.Series([], dtype="int64")
         m = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
         bits = (m @ planes) > 0  # (n, n_bits)
-        weights = (1 << np.arange(n_bits, dtype=object))
-        vals = (bits.astype(object) * weights).sum(axis=1)
-        out = [int(v) - (1 << 64) if int(v) >= (1 << 63) else int(v) for v in vals]
-        return pd.Series(out, dtype="int64")
+        if n_bits < 64:  # pad to a full word so the view below is exact
+            bits = np.concatenate(
+                [bits, np.zeros((len(bits), 64 - n_bits), dtype=bool)], axis=1
+            )
+        # all-numpy bit packing: little-endian packbits puts bit k of the
+        # signature at position k, so the uint64 view equals
+        # sum(bits[k] << k) — no Python-object bigint math in the loop
+        packed = np.ascontiguousarray(
+            np.packbits(bits, axis=1, bitorder="little")
+        )
+        vals = packed.view(np.uint64).ravel().view(np.int64)
+        return pd.Series(vals, dtype="int64")
 
     return _sig(vec)
 

@@ -479,29 +479,49 @@ FROM documents
 
 
 def q_lang_id_heuristic(spark, sf_dir):
-    """Language ID heuristic: English stopword-hit classification."""
-    t = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
-    hits = sum(
-        (F.length(t) - F.length(F.regexp_replace(t, rf" {w} ", "|")))
-        / (len(w) + 1)
-        for w in ["the", "and", "of"]
-    ).cast("long")
+    """Language ID: the PRODUCTION `functions/text.lang_id_col` itself
+    (3-language stopword vote over {en, es, fr}, 'other' on ties/0),
+    oracled by recomputing every per-language hit count with the same
+    length-arithmetic trick in SQL (round-2 verdict nit #3: the oracle
+    previously exercised a simplified 3-stopword variant)."""
+    from .functions.text import lang_id_col
+
     return _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.when(hits >= 2, F.lit("en")).otherwise(F.lit("other")).alias("lang_guess"),
+        "doc_id", lang_id_col(F.col("text")).alias("lang_guess")
     )
 
 
-SQL_LANG_ID_HEURISTIC = """
+def _sql_stopword_hits(words: list[str]) -> str:
+    """SQL twin of text._occurrences summed over a stopword list: per
+    word, (length delta of replacing ' w ' by '|') / (len(w)+1), cast
+    BIGINT per term exactly like the Spark column."""
+    return "\n      + ".join(
+        f"CAST((length(t) - length(regexp_replace(t, ' {w} ', '|', 'g')))"
+        f" / {len(w) + 1} AS BIGINT)"
+        for w in words
+    )
+
+
+def _sql_lang_id() -> str:
+    from .functions.text import _EN_STOPWORDS, _ES_STOPWORDS, _FR_STOPWORDS
+
+    return f"""
 SELECT doc_id,
-  CASE WHEN CAST(
-      (length(t) - length(regexp_replace(t, ' the ', '|', 'g'))) / 4
-    + (length(t) - length(regexp_replace(t, ' and ', '|', 'g'))) / 4
-    + (length(t) - length(regexp_replace(t, ' of ', '|', 'g'))) / 3
-    AS BIGINT) >= 2
-  THEN 'en' ELSE 'other' END AS lang_guess
-FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents)
+  CASE WHEN en > es AND en > fr THEN 'en'
+       WHEN es > en AND es > fr THEN 'es'
+       WHEN fr > en AND fr > es THEN 'fr'
+       ELSE 'other' END AS lang_guess
+FROM (
+  SELECT doc_id,
+      {_sql_stopword_hits(_EN_STOPWORDS)} AS en,
+      {_sql_stopword_hits(_ES_STOPWORDS)} AS es,
+      {_sql_stopword_hits(_FR_STOPWORDS)} AS fr
+  FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents)
+)
 """
+
+
+SQL_LANG_ID_HEURISTIC = _sql_lang_id()
 
 
 def q_embedding_norms(spark, sf_dir):
@@ -743,6 +763,68 @@ FROM t
 """
 
 
+def q_image_near_dup(spark, sf_dir):
+    """Image near-dup: decode → recomputed perceptual hash → pigeonhole
+    chunk banding → popcount + exact offset-normalized verify.
+
+    Input = one synthetic image per document plus a GLOBAL-BRIGHTNESS-
+    SHIFTED twin (image_id + 100000, pixels + 2, no clipping by
+    construction) — the permuted-duplicate class perceptual hashing
+    exists to catch (byte-exact dedup cannot: the payloads differ).
+    dhash64 compares adjacent block means, and a global shift moves
+    every mean by exactly +2, so each twin's hash is BIT-IDENTICAL →
+    hamming 0 → perfect banding recall at max_hamming=2; the final
+    verify joins on md5(px - px[0,0,0]) (offset-normalized pixels,
+    exactly invariant under the shift, distinct across unrelated random
+    images) — so the output EQUALS the SQL-expressible relation
+    {(doc_id, doc_id + 100000)}, with the phash banding doing the
+    candidate pruning at scale."""
+    from .operators.image_dedup import decode_signatures, phash_near_dup_pairs
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from .functions.images import png_encode, synth_pixels
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                base = (synth_pixels(f"nd-{d}", 16, 12) // 2 + 32).astype(
+                    np.uint8
+                )  # range [32,159]: +2 can never clip
+                twin = (base + 2).astype(np.uint8)
+                rows.append((str(d), png_encode(base), "png"))
+                rows.append((str(d + 100000), png_encode(twin), "png"))
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "fmt"])
+
+    images = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(gen, schema="image_id string, bytes binary, fmt string")
+    )
+    sigs = decode_signatures(images).persist()
+    pairs = phash_near_dup_pairs(sigs, "image_id", "phash_rec", max_hamming=2)
+    a = sigs.select(F.col("image_id").alias("id_a"), F.col("norm_fp").alias("_fa"))
+    b = sigs.select(F.col("image_id").alias("id_b"), F.col("norm_fp").alias("_fb"))
+    ia = F.col("id_a").cast("long")
+    ib = F.col("id_b").cast("long")
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(F.col("_fa") == F.col("_fb"))
+        .select(
+            F.least(ia, ib).alias("id_a"), F.greatest(ia, ib).alias("id_b")
+        )
+    )
+
+
+SQL_IMAGE_NEAR_DUP = """
+SELECT doc_id AS id_a, doc_id + 100000 AS id_b FROM documents
+"""
+
+
 def q_multimodal_decode_verify(spark, sf_dir):
     """Image decode + verify invariant over the documents-derived
     corpus (input_hint contract): every payload must decode (PSNR ≥
@@ -809,6 +891,7 @@ _ORACLE: dict[str, str] = {
     "simhash_dup_pairs": SQL_SIMHASH_DUP_PAIRS,
     "srp_near_dup": SQL_SRP_NEAR_DUP,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "image_near_dup": SQL_IMAGE_NEAR_DUP,
     "multimodal_decode_verify": SQL_MULTIMODAL_DECODE_VERIFY,
 }
 
@@ -843,6 +926,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "srp_near_dup": q_srp_near_dup,
     "doc_fingerprint": q_doc_fingerprint,
+    "image_near_dup": q_image_near_dup,
     "multimodal_decode_verify": q_multimodal_decode_verify,
 }
 

@@ -1,0 +1,413 @@
+"""Round-3 features: sharded cuckoo seen-filter, engine-level
+expire()/recrawl workflow, over-capacity degradation, recoverable
+streaming budgets."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sitemapper_spark import corpus as cm
+from sitemapper_spark.engine import CrawlConfig, CrawlEngine
+
+ROOT = cm.testsite_root()
+
+
+class TestShardedCuckoo:
+    def test_filter_ops(self, spark):
+        """Build/merge/probe/delete, all executor-side: no false
+        negatives ever; deletes remove; FP rate bounded."""
+        from sitemapper_spark.operators.cuckoo import (
+            build_cuckoo_shards,
+            delete_from_cuckoo_shards,
+            merge_cuckoo_shards,
+            split_by_cuckoo_shards,
+        )
+
+        n_shards, n_buckets = 4, 1 << 11  # 4 shards × 8k slots
+        a = spark.range(0, 3000, numPartitions=4).select(
+            F.xxhash64(F.col("id").cast("string")).alias("h")
+        )
+        b = spark.range(3000, 6000, numPartitions=4).select(
+            F.xxhash64(F.col("id").cast("string")).alias("h")
+        )
+        shards = merge_cuckoo_shards(
+            build_cuckoo_shards(a, "h", n_shards, n_buckets),
+            build_cuckoo_shards(b, "h", n_shards, n_buckets),
+            n_buckets,
+        )
+        both = a.unionByName(b)
+        fresh, maybe = split_by_cuckoo_shards(
+            both, "h", shards, n_shards, n_buckets
+        )
+        assert fresh.count() == 0  # no false negatives, ever
+        assert maybe.count() == 6000
+
+        # delete the b half distributedly: b mostly drops out, a intact
+        shards2 = delete_from_cuckoo_shards(shards, b, "h", n_shards, n_buckets)
+        fresh_a, _ = split_by_cuckoo_shards(a, "h", shards2, n_shards, n_buckets)
+        assert fresh_a.count() == 0  # deleting b never hurts a
+        fresh_b, _ = split_by_cuckoo_shards(b, "h", shards2, n_shards, n_buckets)
+        assert fresh_b.count() >= 2950  # b gone modulo rare FPs
+
+        other = spark.range(100_000, 106_000, numPartitions=4).select(
+            F.xxhash64(F.col("id").cast("string")).alias("h")
+        )
+        fresh2, _ = split_by_cuckoo_shards(
+            other, "h", shards, n_shards, n_buckets
+        )
+        assert fresh2.count() >= 5900  # FP rate bounded (16-bit fps)
+
+    def test_sharded_cuckoo_crawl_identical_output(self, spark, tmp_path):
+        """seen_filter='cuckoo' + bloom_shards>1 (the 10^10 deletion-
+        capable path) must equal the exact no-filter crawl."""
+        corpus = cm.synth_corpus(
+            spark, n_pages=1200, n_hosts=3, with_images=False
+        )
+        corpus.write.parquet(str(tmp_path / "pages"))
+        corpus = spark.read.parquet(str(tmp_path / "pages"))
+        seeds = [
+            (r["url"], f"s-{r['host']}", 4, 0.0)
+            for r in corpus.groupBy("host").agg(F.min("url").alias("url")).collect()
+        ]
+
+        def crawl(tag, **kw):
+            cfg = CrawlConfig(
+                max_depth=4, num_partitions=8, bloom_min_visited=0,
+                checkpoint_dir=str(tmp_path / tag), **kw,
+            )
+            res = CrawlEngine(spark, corpus, cfg).run(seeds)
+            return {
+                (r["sitemap_id"], r["url"], r["depth"])
+                for r in res.visited.collect()
+            }
+
+        exact = crawl("noBloom", use_bloom=False)
+        sharded = crawl(
+            "shardedCuckoo", use_bloom=True, seen_filter="cuckoo",
+            bloom_shards=4, bloom_expected_urls=10_000,
+        )
+        assert sharded == exact
+
+
+class TestExpireRecrawl:
+    def _seeds(self):
+        return [(ROOT, "s0", 3, 0.0)]
+
+    @pytest.mark.parametrize("filt,shards", [("cuckoo", 1), ("cuckoo", 4),
+                                             ("bloom", 1)])
+    def test_expire_then_resume_revisits(self, spark, tmp_path, filt, shards):
+        """crawl → expire a URL → run(resume=True) re-visits it with an
+        updated round; everything else is untouched."""
+        corpus = cm.testsite_corpus(spark)
+        cfg = CrawlConfig(
+            max_depth=3, use_bloom=True, bloom_min_visited=0,
+            bloom_expected_urls=10_000, seen_filter=filt, bloom_shards=shards,
+            num_partitions=4,
+            checkpoint_dir=str(tmp_path / f"ck_{filt}{shards}"),
+        )
+        engine = CrawlEngine(spark, corpus, cfg)
+        res1 = engine.run(self._seeds())
+        adj1 = res1.adjacency_dict("s0")
+        before = {
+            r["url"]: r["round"] for r in res1.visited.collect()
+        }
+        target = f"{ROOT}/tomato.html"
+        assert target in before
+
+        n = engine.expire([("s0", target)])
+        assert n == 1
+        # state really gone: visited and outgoing edges dropped
+        left = {r["url"] for r in engine._read_rounds(
+            "visited", engine._complete_rounds()).collect()}
+        assert target not in left and len(left) == len(before) - 1
+
+        res2 = engine.run(self._seeds(), resume=True)
+        after = {r["url"]: r["round"] for r in res2.visited.collect()}
+        assert after[target] > before[target]  # re-visited, new round
+        for u, rnd in before.items():
+            if u != target:
+                assert after[u] == rnd  # everything else untouched
+        # corpus unchanged ⇒ identical adjacency after the recrawl
+        assert res2.adjacency_dict("s0") == adj1
+
+    def test_expire_unknown_url_is_noop(self, spark, tmp_path):
+        corpus = cm.testsite_corpus(spark)
+        cfg = CrawlConfig(
+            max_depth=2, seen_filter="cuckoo", bloom_min_visited=0,
+            num_partitions=4, checkpoint_dir=str(tmp_path / "ck_noop"),
+        )
+        engine = CrawlEngine(spark, corpus, cfg)
+        engine.run(self._seeds())
+        assert engine.expire([("s0", "http://nowhere.example.com/")]) == 0
+
+    def test_expire_deletes_from_cuckoo_in_place(self, spark, tmp_path):
+        """The driver cuckoo filter loses the expired key (delete_many,
+        no rebuild) — the capability bloom fundamentally lacks."""
+        from sitemapper_spark.operators.bloom import url_hash_col
+
+        corpus = cm.testsite_corpus(spark)
+        cfg = CrawlConfig(
+            max_depth=3, seen_filter="cuckoo", bloom_min_visited=0,
+            num_partitions=4, checkpoint_dir=str(tmp_path / "ck_del"),
+        )
+        engine = CrawlEngine(spark, corpus, cfg)
+        engine.run(self._seeds())
+        target = f"{ROOT}/tomato.html"
+        h = np.array(
+            [
+                spark.range(1)
+                .select(url_hash_col(F.lit("s0"), F.lit(target)).alias("h"))
+                .first()["h"]
+            ],
+            dtype=np.int64,
+        )
+        assert engine._cuckoo.contains_many(h)[0]
+        engine.expire([("s0", target)])
+        assert not engine._cuckoo.contains_many(h)[0]
+
+
+def test_cuckoo_overcapacity_degrades_not_crashes(spark, tmp_path):
+    """A hopelessly undersized cuckoo filter must degrade (rebuild
+    bigger or advisory-off), never abort the crawl; output stays exact."""
+    corpus = cm.synth_corpus(spark, n_pages=600, n_hosts=2, with_images=False)
+    corpus.write.parquet(str(tmp_path / "pages"))
+    corpus = spark.read.parquet(str(tmp_path / "pages"))
+    seeds = [
+        (r["url"], f"s-{r['host']}", 4, 0.0)
+        for r in corpus.groupBy("host").agg(F.min("url").alias("url")).collect()
+    ]
+
+    def crawl(tag, **kw):
+        cfg = CrawlConfig(
+            max_depth=4, num_partitions=4, checkpoint_dir=str(tmp_path / tag),
+            **kw,
+        )
+        res = CrawlEngine(spark, corpus, cfg).run(seeds)
+        return {
+            (r["sitemap_id"], r["url"], r["depth"])
+            for r in res.visited.collect()
+        }
+
+    exact = crawl("exact", use_bloom=False)
+    # sized for ~64 keys; the crawl visits hundreds → guaranteed overflow
+    tiny = crawl(
+        "tiny", use_bloom=True, seen_filter="cuckoo", bloom_min_visited=0,
+        bloom_expected_urls=64,
+    )
+    assert tiny == exact
+
+
+class TestImageNearDup:
+    def test_phash_banding_equals_brute_force(self, spark):
+        """Pure-Catalyst phash banding + popcount == brute-force
+        all-pairs hamming at any max_hamming (pigeonhole recall)."""
+        from itertools import combinations
+
+        from sitemapper_spark.operators.image_dedup import phash_near_dup_pairs
+
+        rng = np.random.default_rng(7)
+        base = rng.integers(-(1 << 62), 1 << 62, size=30, dtype=np.int64)
+        rows = [(str(i), int(h)) for i, h in enumerate(base)]
+        # planted twins: flip ≤2 bits of a few hashes
+        for i in (0, 5, 11):
+            rows.append((f"t{i}", int(base[i] ^ (1 << (i + 3)) ^ (1 << i))))
+        df = spark.createDataFrame(rows, "image_id string, phash long")
+        for mh in (0, 2, 3):
+            got = {
+                (r["id_a"], r["id_b"], r["hamming"])
+                for r in phash_near_dup_pairs(
+                    df, max_hamming=mh
+                ).collect()
+            }
+            want = set()
+            for (ia, ha), (ib, hb) in combinations(rows, 2):
+                d = bin((ha ^ hb) & 0xFFFFFFFFFFFFFFFF).count("1")
+                if d <= mh:
+                    a, b = sorted((ia, ib))
+                    want.add((a, b, d))
+            assert got == want, f"max_hamming={mh}"
+
+    def test_brightness_shift_twin_recalled(self, spark):
+        """A +2 global brightness shift changes every payload byte but
+        not the dhash — the near-dup class exact dedup cannot see."""
+        from sitemapper_spark.functions.images import (
+            dhash64,
+            png_encode,
+            synth_pixels,
+        )
+        from sitemapper_spark.operators.image_dedup import (
+            decode_signatures,
+            phash_near_dup_pairs,
+        )
+
+        base = (synth_pixels("tw", 16, 12) // 2 + 32).astype(np.uint8)
+        twin = (base + 2).astype(np.uint8)
+        assert dhash64(base) == dhash64(twin)
+        assert png_encode(base) != png_encode(twin)  # exact dedup blind
+        df = spark.createDataFrame(
+            [("a", png_encode(base), "png"), ("b", png_encode(twin), "png")],
+            "image_id string, bytes binary, fmt string",
+        )
+        sigs = decode_signatures(df)
+        pairs = phash_near_dup_pairs(sigs, "image_id", "phash_rec", 2).collect()
+        assert [(p["id_a"], p["id_b"], p["hamming"]) for p in pairs] == [
+            ("a", "b", 0)
+        ]
+        # the offset-normalized fingerprint is shift-invariant too
+        fps = {r["image_id"]: r["norm_fp"] for r in sigs.collect()}
+        assert fps["a"] == fps["b"]
+
+
+def test_continuous_crawl_lifetime_budget_across_epochs(spark, tmp_path):
+    """End-to-end: ContinuousCrawl with per_host_lifetime_budget routes
+    seeds through the stateful admission operator, so a host exhausted
+    in epoch 1 admits NOTHING in epoch 2 (round-2 verdict item 4 —
+    per-epoch CrawlConfig budgets cannot express this); the rejected
+    seed is parked as a re-submittable seed file."""
+    import json as _json
+    import os
+
+    from sitemapper_spark.streaming.continuous import ContinuousCrawl
+
+    corpus = cm.testsite_corpus(spark)
+    seeds_dir = str(tmp_path / "seeds_in")
+    out_dir = str(tmp_path / "stream_out")
+    os.makedirs(seeds_dir)
+    seed = {"url": ROOT, "sitemap_id": "e1", "max_depth": 2, "priority": 0.0}
+    with open(os.path.join(seeds_dir, "b0.json"), "w") as f:
+        f.write(_json.dumps(seed))
+    os.utime(os.path.join(seeds_dir, "b0.json"), (1_000_000_000, 1_000_000_000))
+
+    def run_once():
+        cc = ContinuousCrawl(
+            spark, corpus, seeds_dir, out_dir,
+            CrawlConfig(max_depth=2, use_bloom=False, num_partitions=4),
+            per_host_lifetime_budget=1,
+        )
+        q = cc.start(trigger_once=True)
+        q.awaitTermination(300)
+
+    run_once()
+    epochs = sorted(d for d in os.listdir(out_dir) if d.startswith("epoch="))
+    assert len(epochs) == 1  # epoch 1 crawled the seed (budget 1 spent)
+
+    # epoch 2: another seed for the SAME host — must be rejected by the
+    # state carried in the streaming checkpoint, crawling nothing
+    seed2 = {"url": ROOT + "/tomato.html", "sitemap_id": "e2",
+             "max_depth": 2, "priority": 9.0}
+    with open(os.path.join(seeds_dir, "b1.json"), "w") as f:
+        f.write(_json.dumps(seed2))
+    os.utime(os.path.join(seeds_dir, "b1.json"), (1_000_000_001, 1_000_000_001))
+    run_once()
+
+    adj_dirs = [
+        d for d in sorted(os.listdir(out_dir)) if d.startswith("epoch=")
+        and os.path.isdir(os.path.join(out_dir, d, "adjacency"))
+    ]
+    assert len(adj_dirs) == 1  # no epoch-2 crawl happened
+    rejected = spark.read.json(os.path.join(out_dir, "rejected")).collect()
+    assert [r["url"] for r in rejected] == [ROOT + "/tomato.html"]
+    # parked rows are seed-file shaped: re-submittable after a raise
+    assert set(rejected[0].asDict()) == {"url", "sitemap_id", "max_depth",
+                                         "priority"}
+
+
+def test_streaming_budget_none_is_unlimited(spark, tmp_path):
+    """per-host budget None (the engine's documented 'unlimited') must
+    admit everything, not crash (round-2 ADVICE)."""
+    import json as _json
+    import os
+
+    from sitemapper_spark.streaming.politeness_stream import (
+        politeness_admission_stream,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    rows = [
+        {"sitemap_id": "s", "host": "a.com", "url": f"http://a.com/{i}",
+         "priority": 0.0}
+        for i in range(5)
+    ]
+    with open(in_dir / "b.json", "w") as f:
+        f.write("\n".join(_json.dumps(r) for r in rows))
+    stream = (
+        spark.readStream.schema(
+            "sitemap_id string, host string, url string, priority double"
+        ).json(str(in_dir))
+    )
+    q = (
+        politeness_admission_stream(stream)  # no budgets at all
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out")).collect()
+    assert len(out) == 5 and all(r["admitted"] for r in out)
+
+
+def test_streaming_concurrency_budget_recovers(spark, tmp_path):
+    """max_in_flight_per_host: tokens return on completion rows, so a
+    throttled host recovers — the reference limiter's semantics
+    (limiter.go:32-42), unlike the lifetime cap."""
+    import json as _json
+    import os
+
+    from sitemapper_spark.streaming.politeness_stream import (
+        politeness_admission_stream,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    # batch 1: 3 requests, budget 2 -> admit 2 (priority desc), reject 1
+    b1 = [
+        {"sitemap_id": "s", "host": "a.com", "url": f"http://a.com/{i}",
+         "priority": float(i), "done": False}
+        for i in range(3)
+    ]
+    # batch 2: both in-flight fetches complete (tokens back), 2 new
+    # requests -> both admitted (budget recovered)
+    b2 = [
+        {"sitemap_id": "s", "host": "a.com", "url": f"http://a.com/{i}",
+         "priority": 0.0, "done": True}
+        for i in (1, 2)
+    ] + [
+        {"sitemap_id": "s", "host": "a.com", "url": f"http://a.com/n{i}",
+         "priority": 0.0, "done": False}
+        for i in range(2)
+    ]
+    for i, (name, rows) in enumerate((("b1.json", b1), ("b2.json", b2))):
+        p = in_dir / name
+        with open(p, "w") as f:
+            f.write("\n".join(_json.dumps(r) for r in rows))
+        os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
+    stream = (
+        spark.readStream.schema(
+            "sitemap_id string, host string, url string, priority double, "
+            "done boolean"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir))
+    )
+    q = (
+        politeness_admission_stream(
+            stream, max_in_flight_per_host=2, completion_col="done"
+        )
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out")).collect()
+    admitted = sorted(r["url"] for r in out if r["admitted"])
+    rejected = sorted(r["url"] for r in out if not r["admitted"])
+    assert admitted == [
+        "http://a.com/1", "http://a.com/2",  # batch 1 top-2
+        "http://a.com/n0", "http://a.com/n1",  # batch 2: budget recovered
+    ]
+    assert rejected == ["http://a.com/0"]

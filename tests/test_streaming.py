@@ -94,7 +94,7 @@ def test_stateful_politeness_admission_across_microbatches(spark, tmp_path):
         .json(str(in_dir))
     )
     q = (
-        politeness_admission_stream(stream, per_host_budget=3)
+        politeness_admission_stream(stream, per_host_lifetime_budget=3)
         .writeStream.format("parquet")
         .option("path", str(out_dir))
         .option("checkpointLocation", str(ck_dir))
