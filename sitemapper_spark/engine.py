@@ -303,6 +303,49 @@ class CrawlEngine:
         self._bloom_version = versions[-1] + 1
         return True
 
+    def _cuckoo_degrade(self) -> None:
+        """Over-capacity recovery for the driver-held cuckoo filter:
+        rebuild at a larger power-of-two capacity from the exact visited
+        table; if even that overflows, disable the advisory pre-filter
+        for the rest of the run (exact anti-join only)."""
+        from .operators.cuckoo import build_cuckoo
+
+        all_vh = self._read_rounds(
+            "visited", getattr(self, "_visited_rounds", [])
+        )
+        rebuilt = None
+        if all_vh is not None:
+            grow = self._cuckoo.n_buckets * 2
+            for n_buckets in (grow, grow * 2):
+                try:
+                    rebuilt = build_cuckoo(
+                        all_vh.select(
+                            url_hash_col(
+                                F.col("sitemap_id"), F.col("url")
+                            ).alias("_h")
+                        ),
+                        "_h",
+                        n_buckets=n_buckets,
+                        bucket_size=self._cuckoo.bucket_size,
+                    )
+                    break
+                except Exception as e2:  # noqa: BLE001
+                    if not self._is_cuckoo_full(e2):
+                        raise
+        self._cuckoo = rebuilt  # None → advisory layer off
+        print(
+            "[crawl] WARNING: cuckoo filter over capacity — "
+            + (
+                f"rebuilt at {rebuilt.n_buckets} buckets from the "
+                "visited table (size bloom_expected_urls correctly "
+                "to avoid this rebuild)"
+                if rebuilt is not None
+                else "advisory pre-filter DISABLED for this run "
+                "(exact anti-join only)"
+            ),
+            flush=True,
+        )
+
     @staticmethod
     def _is_cuckoo_full(e: BaseException) -> bool:
         # executor-side CuckooFull surfaces as a PythonException whose
@@ -313,7 +356,18 @@ class CrawlEngine:
             "cuckoo filter over capacity" in str(e)
         )
 
-    def _absorb_into_bloom(self, visited_slice: DataFrame) -> None:
+    # below this many rows, absorbing the round's URL hashes into a
+    # driver-held filter skips the distributed partial-filter build (8
+    # map partials + a bitset-row shuffle + an m/8-byte collect — ~2.3 s
+    # of fixed job latency, BENCH.md §2.3) and instead collects the raw
+    # int64 hashes (8 B/row via Arrow, ≤ 8 MB at the threshold) for one
+    # vectorized driver-side add_many. Big rounds keep the distributed
+    # tree build — at production round sizes the partials amortize.
+    DIRECT_ABSORB_MAX = 1_000_000
+
+    def _absorb_into_bloom(
+        self, visited_slice: DataFrame, n_rows: int | None = None
+    ) -> None:
         """OR-merge a visited slice's URL hashes into the cumulative
         seen filter.
 
@@ -334,6 +388,31 @@ class CrawlEngine:
         vh = visited_slice.select(
             url_hash_col(F.col("sitemap_id"), F.col("url")).alias("_h")
         )
+        if (
+            self.config.bloom_shards == 1
+            and n_rows is not None
+            and n_rows <= self.DIRECT_ABSORB_MAX
+        ):
+            import numpy as np
+
+            h = vh.toPandas()["_h"].to_numpy(dtype=np.int64)
+            if self.config.seen_filter == "cuckoo":
+                if self._cuckoo is not None:
+                    try:
+                        self._cuckoo.add_many(h)
+                    except Exception as e:  # noqa: BLE001
+                        if not self._is_cuckoo_full(e):
+                            raise
+                        self._cuckoo_degrade()
+            else:
+                self._bloom.add_many(h)
+            if self.config.verbose:
+                print(
+                    f"[crawl]   bloom absorb (direct, {len(h)} keys): "
+                    f"{time.perf_counter() - t0:.2f}s",
+                    flush=True,
+                )
+            return
         if self.config.bloom_shards > 1:
             if self.config.seen_filter == "cuckoo":
                 from .operators.cuckoo import (
@@ -377,41 +456,7 @@ class CrawlEngine:
             except Exception as e:  # noqa: BLE001 — degrade on CuckooFull only
                 if not self._is_cuckoo_full(e):
                     raise
-                all_vh = self._read_rounds(
-                    "visited", getattr(self, "_visited_rounds", [])
-                )
-                rebuilt = None
-                if all_vh is not None:
-                    grow = self._cuckoo.n_buckets * 2
-                    for n_buckets in (grow, grow * 2):
-                        try:
-                            rebuilt = build_cuckoo(
-                                all_vh.select(
-                                    url_hash_col(
-                                        F.col("sitemap_id"), F.col("url")
-                                    ).alias("_h")
-                                ),
-                                "_h",
-                                n_buckets=n_buckets,
-                                bucket_size=self._cuckoo.bucket_size,
-                            )
-                            break
-                        except Exception as e2:  # noqa: BLE001
-                            if not self._is_cuckoo_full(e2):
-                                raise
-                self._cuckoo = rebuilt  # None → advisory layer off
-                print(
-                    "[crawl] WARNING: cuckoo filter over capacity — "
-                    + (
-                        f"rebuilt at {rebuilt.n_buckets} buckets from the "
-                        "visited table (size bloom_expected_urls correctly "
-                        "to avoid this rebuild)"
-                        if rebuilt is not None
-                        else "advisory pre-filter DISABLED for this run "
-                        "(exact anti-join only)"
-                    ),
-                    flush=True,
-                )
+                self._cuckoo_degrade()
         else:
             delta = build_bloom(vh, "_h", m_bits=self._bloom.m_bits, k=self._bloom.k)
             self._bloom = self._bloom.merge(delta)
@@ -708,7 +753,7 @@ class CrawlEngine:
                     if cfg.bloom_shards > 1 and self._load_seen_shards():
                         pass  # persisted shards ARE the filter — no rebuild
                     elif not reuse_driver_filter:
-                        self._absorb_into_bloom(prior)
+                        self._absorb_into_bloom(prior, self._visited_total)
         else:
             start_round = 0
             # Depth gate at ingestion (F2): a seed with max_depth=0 is
@@ -825,7 +870,9 @@ class CrawlEngine:
                 # Runs as a concurrent Spark action — overlaps with the
                 # fetch/extract/edges work below; joined before the
                 # candidate split needs the filter.
-                bloom_thread = _BgAction(self._absorb_into_bloom, visited_new)
+                bloom_thread = _BgAction(
+                    self._absorb_into_bloom, visited_new, n_dequeued
+                )
 
             # 3) fetch = corpus join (F6); null right side / status!=200
             #    = fetch error → no links, URL still visited.
@@ -876,24 +923,32 @@ class CrawlEngine:
             ).persist()  # reused by edges + lineage; fetch/UDF run once
 
             # 5) edges (F9) — duplicates collapse at aggregation time,
-            #    like UpdateURLWithLinks' set-union (`sitemap.go:56-66`)
-            edges_new = self._write(
-                cleaned.select(
-                    "sitemap_id",
-                    F.col("url").alias("src"),
-                    F.explode("_links").alias("dst"),
-                    "depth",
-                    F.lit(round_no).alias("round"),
-                ).dropDuplicates(["sitemap_id", "src", "dst"]),
-                round_no,
-                "edges",
-            )
+            #    like UpdateURLWithLinks' set-union (`sitemap.go:56-66`).
+            #
+            #    Write strategy is round-size-adaptive, like the fetch
+            #    and absorb paths: SMALL rounds (≤ DIRECT_ABSORB_MAX,
+            #    the fixpoint-floor regime) cache the dedup output and
+            #    run the parquet write as a CONCURRENT action so the
+            #    candidate chain reads the cache instead of waiting for
+            #    write-then-reread — two fewer serial driver actions
+            #    per round. FAT rounds write-then-reread as before:
+            #    caching multi-GB edge sets alongside `cleaned` adds
+            #    executor-memory pressure for a write whose cost is
+            #    data-proportional anyway (BENCH.md §2.3/§3).
+            overlap_writes = n_dequeued <= self.DIRECT_ABSORB_MAX
+            edges_plan = cleaned.select(
+                "sitemap_id",
+                F.col("url").alias("src"),
+                F.explode("_links").alias("dst"),
+                "depth",
+                F.lit(round_no).alias("round"),
+            ).dropDuplicates(["sitemap_id", "src", "dst"])
 
             # 6) lineage/metrics (F12 / crawl_jobs status rows) —
             #    written DISTRIBUTEDLY (never collected: at web scale
             #    there are 10^6-10^8 hosts per round; only the filtered
-            #    hot-host sliver below ever reaches the driver)
-            lineage_new = self._write(
+            #    hot-host sliver below ever reaches the driver).
+            lineage_plan = (
                 cleaned.groupBy("sitemap_id", "host").agg(
                     F.count("*").alias("urls_dequeued"),
                     F.count(F.when(F.col("status") == 200, 1)).alias("fetched"),
@@ -913,10 +968,24 @@ class CrawlEngine:
                         "links_found"
                     ),
                     F.lit("COMPLETE").alias("status"),
-                ),
-                round_no,
-                "lineage",
+                )
             )
+            edges_thread = lineage_thread = None
+            if overlap_writes:
+                edges_new = edges_plan.persist()
+                edges_thread = _BgAction(
+                    lambda df=edges_new: df.write.mode("overwrite").parquet(
+                        self._ckpt(f"round={round_no:05d}", "edges")
+                    )
+                )
+                lineage_thread = _BgAction(
+                    lambda df=lineage_plan: df.write.mode("overwrite").parquet(
+                        self._ckpt(f"round={round_no:05d}", "lineage")
+                    )
+                )
+            else:
+                edges_new = self._write(edges_plan, round_no, "edges")
+                lineage_new = self._write(lineage_plan, round_no, "lineage")
 
             # 7) candidates at depth+1, gated by per-sitemap max_depth
             #    (F2) and robots rules
@@ -1006,18 +1075,30 @@ class CrawlEngine:
             ).drop("_h").persist()  # reused: hot-host scan + frontier write
 
             # 10) next frontier = carry-over ∪ survivors, salted where
-            # hot. Heat is an aggregate-then-FILTER on the (tiny,
-            # already-written) lineage parquet — only hosts over the
-            # threshold are collected, so the driver sees O(hot hosts),
-            # never O(hosts); a host that just expanded many pages is
-            # about to produce many candidates.
+            # hot. Heat is an aggregate-then-FILTER on the cached
+            # `cleaned` slice — only hosts over the threshold are
+            # collected, so the driver sees O(hot hosts), never
+            # O(hosts); a host that just expanded many pages is about
+            # to produce many candidates.
             hot_hosts: list[str] = []
             if cfg.hot_host_threshold is not None:
+                heat_src = (
+                    cleaned.groupBy("host").agg(
+                        F.sum(F.size("_links")).alias("_lf")
+                    )
+                    if overlap_writes
+                    # fat rounds: the (tiny, already-written) lineage
+                    # parquet is cheaper to re-aggregate than the
+                    # multi-GB cached slice
+                    else lineage_new.groupBy("host").agg(
+                        F.sum("links_found").alias("_lf")
+                    )
+                )
                 hot_hosts = [
                     r["host"]
-                    for r in lineage_new.groupBy("host")
-                    .agg(F.sum("links_found").alias("_lf"))
-                    .filter(F.col("_lf") > cfg.hot_host_threshold)
+                    for r in heat_src.filter(
+                        F.col("_lf") > cfg.hot_host_threshold
+                    )
                     .select("host")
                     .collect()
                 ]
@@ -1059,10 +1140,16 @@ class CrawlEngine:
                 round_no,
                 "frontier_next",
             )
+            if edges_thread is not None:  # round artifacts before manifest
+                edges_thread.join()
+            if lineage_thread is not None:
+                lineage_thread.join()
             if image_thread is not None:
                 image_thread.join()  # before dequeued is unpersisted
             for df in (dequeued, carry, cleaned, survivors_base):
                 df.unpersist()
+            if overlap_writes:
+                edges_new.unpersist()
             for bc in round_bcs:  # all consumers materialized above
                 bc.destroy()
             self._manifest(

@@ -37,7 +37,7 @@ Protocol (round-2; each item root-caused from a measured distortion):
 
 Usage: python tools/bench_scaling.py [n_pages] [n_hosts] [img_w img_h]
        [--levels=8,32] [--mode=mega|rounds] [--passes=3]
-       [--fetch=broadcast|shuffle|bucketed]
+       [--fetch=broadcast|shuffle|bucketed] [--buckets=32]
 """
 
 from __future__ import annotations
@@ -64,6 +64,7 @@ n_passes = int(sys.argv[4])
 fetch_shape = sys.argv[5]
 n_pages = int(sys.argv[6])
 shuffle_parts = int(sys.argv[7]) if sys.argv[7] != "auto" else cpus
+n_buckets = int(sys.argv[8]) if len(sys.argv) > 8 else 32
 
 
 def cpu_times():
@@ -90,8 +91,8 @@ if fetch_shape == "bucketed":
     # itself — setup is one-time per JVM and OUTSIDE every timed
     # window. repartition(nb, url) aligns writer tasks with buckets
     # (same murmur3 hash) → one file per bucket → SMJ reads pre-sorted.
-    nb = 32
-    tbl = "pages_bkt_%%d" %% cpus
+    nb = n_buckets
+    tbl = "pages_bkt_%%d_%%d" %% (cpus, nb)
     spark.sql("DROP TABLE IF EXISTS %%s" %% tbl)
     (corpus.repartition(nb, "url").write.mode("overwrite")
      .bucketBy(nb, "url").sortBy("url")
@@ -167,13 +168,14 @@ def prewarm_page_cache(corpus_path: str) -> None:
 
 
 def run_level(cpus: int, corpus_path: str, mode: str, passes: int,
-              fetch_shape: str, partitions: str = "auto") -> list[dict]:
+              fetch_shape: str, partitions: str = "auto",
+              buckets: int = 32) -> list[dict]:
     prewarm_page_cache(corpus_path)
     script = WORKER % {"repo": REPO}
     n_pages = int(corpus_path.split("_p")[1].split("_")[0])
     cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c",
            script, str(cpus), corpus_path, mode, str(passes), fetch_shape,
-           str(n_pages), partitions]
+           str(n_pages), partitions, str(buckets)]
     out = subprocess.run(
         cmd, capture_output=True, text=True, timeout=7200, cwd=REPO,
         env={**os.environ, "SPARK_GRAFT_DRIVER_MEM": "24g"},
@@ -198,6 +200,7 @@ def main() -> None:
     passes = int(flags.get("--passes", "3") or 3)
     fetch_shape = flags.get("--fetch", "broadcast") or "broadcast"
     partitions = flags.get("--partitions", "auto") or "auto"
+    buckets = int(flags.get("--buckets", "32") or 32)  # bucketed-fetch nb
 
     sys.path.insert(0, REPO)
     from sitemapper_spark.corpus import synth_corpus
@@ -215,7 +218,7 @@ def main() -> None:
         spark.stop()
 
     levels_out = {c: run_level(c, corpus_path, mode, passes, fetch_shape,
-                               partitions)
+                               partitions, buckets)
                   for c in levels}
     digests = {r["sha256_visited"] for rs in levels_out.values() for r in rs}
     assert len(digests) == 1, "crawl output differs across parallelism levels!"
@@ -242,6 +245,7 @@ def main() -> None:
         "fetch": fetch_shape,
         "passes": passes,
         "partitions": partitions,
+        "buckets": buckets if fetch_shape == "bucketed" else None,
         "n_pages": n_pages,
         "n_hosts": n_hosts,
         "img": f"{img_w}x{img_h}",
