@@ -132,7 +132,11 @@ class CrawlConfig:
     # the fetch broadcast carries out_links (~10x wider), so it must
     # fall back to a shuffle join long before the bare-url broadcast
     # does — and the image semi-join must NOT follow it into a
-    # shuffle, which would move the `bytes` column.
+    # shuffle, which would move the `bytes` column. The image prune is
+    # therefore ALWAYS a broadcast; this knob bounds it: a dequeue
+    # above the cap raises (telling the operator to bucket the corpus
+    # by url or raise the cap) instead of either shuffling `bytes` or
+    # blowing the driver on an unbounded broadcast. None = no bound.
     decode_verify_images: bool = False  # per north_star: each round
     # fetch/decodes the image payload of visited pages and appends image
     # rows (url, phash, ok, psnr_db, caption_ok); bytes are read from
@@ -272,6 +276,24 @@ class CrawlEngine:
         return self.spark.read.parquet(*paths)
 
     # ------------------------------------------------------------------
+    def _shard_geometry(self) -> dict:
+        """The probe-critical parameters of the current sharded filter.
+        A persisted-shards parquet probed with DIFFERENT geometry can
+        return false NEGATIVES (wrong shard routing or wrong in-filter
+        bucket math), and a false negative bypasses the exact anti-join
+        — so geometry is persisted alongside the shards and validated
+        on load."""
+        g = {
+            "seen_filter": self.config.seen_filter,
+            "n_shards": self.config.bloom_shards,
+        }
+        if self.config.seen_filter == "cuckoo":
+            g["n_buckets"] = self._shard_cuckoo_buckets
+        else:
+            g["m_bits"] = self._shard_m_bits
+            g["k"] = self._shard_k
+        return g
+
     def _write_seen_shards(self, merged: DataFrame) -> None:
         """Persist a new version of the sharded seen filter and retire
         the previous one (the shards parquet IS the durable filter —
@@ -279,6 +301,11 @@ class CrawlEngine:
         path = self._ckpt("bloom_shards", f"v{self._bloom_version:05d}")
         merged.write.mode("overwrite").parquet(path)
         self._bloom_shards = self.spark.read.parquet(path)
+        meta = self._ckpt("bloom_shards", "FILTER_META.json")
+        tmp = meta + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._shard_geometry(), f)
+        os.replace(tmp, meta)
         if self._bloom_version > 0:  # previous version fully merged in
             shutil.rmtree(
                 self._ckpt("bloom_shards", f"v{self._bloom_version - 1:05d}"),
@@ -288,7 +315,17 @@ class CrawlEngine:
 
     def _load_seen_shards(self) -> bool:
         """Resume path: adopt the latest persisted shards version if one
-        exists (saves the full rebuild-from-visited job)."""
+        exists (saves the full rebuild-from-visited job).
+
+        Geometry-validated: the shards are only adopted when the
+        persisted FILTER_META matches the current filter type and shard
+        count (anything else routes probes to the wrong shard → false
+        negatives → re-crawled duplicates). A matching manifest's
+        per-shard geometry (n_buckets / m_bits,k) is ADOPTED — it is
+        authoritative over the config-derived sizing, so resuming with
+        a changed ``bloom_expected_urls`` still probes correctly. A
+        missing or mismatched manifest falls back to
+        rebuild-from-visited (correct, just slower)."""
         base = self._ckpt("bloom_shards")
         if not os.path.isdir(base):
             return False
@@ -297,11 +334,80 @@ class CrawlEngine:
         )
         if not versions:
             return False
+        meta_path = os.path.join(base, "FILTER_META.json")
+        if not os.path.exists(meta_path):
+            return False  # pre-manifest checkpoint: rebuild, don't guess
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if (
+            meta.get("seen_filter") != self.config.seen_filter
+            or meta.get("n_shards") != self.config.bloom_shards
+        ):
+            print(
+                "[crawl] WARNING: persisted seen-filter shards have "
+                f"geometry {meta}, current config wants "
+                f"{self.config.seen_filter}/{self.config.bloom_shards} "
+                "shards — rebuilding the filter from the visited table",
+                flush=True,
+            )
+            return False
+        if self.config.seen_filter == "cuckoo":
+            self._shard_cuckoo_buckets = int(meta["n_buckets"])
+        else:
+            self._shard_m_bits = int(meta["m_bits"])
+            self._shard_k = int(meta["k"])
         self._bloom_shards = self.spark.read.parquet(
             os.path.join(base, f"v{versions[-1]:05d}")
         )
         self._bloom_version = versions[-1] + 1
         return True
+
+    def _sharded_cuckoo_degrade(self) -> None:
+        """Over-capacity recovery for the SHARDED cuckoo filter — the
+        distributed analog of :meth:`_cuckoo_degrade`. A CuckooFull
+        raised executor-side during a shard build/merge must degrade,
+        not abort (the filter is strictly advisory): rebuild all shards
+        at the next power-of-two per-shard capacity from the exact
+        visited table; if even 4x overflows, disable the advisory layer
+        for the rest of the run (exact anti-join only)."""
+        from .operators.cuckoo import build_cuckoo_shards
+
+        all_vh = self._read_rounds(
+            "visited", getattr(self, "_visited_rounds", [])
+        )
+        rebuilt = False
+        if all_vh is not None:
+            vh = all_vh.select(
+                url_hash_col(F.col("sitemap_id"), F.col("url")).alias("_h")
+            )
+            grow = self._shard_cuckoo_buckets * 2
+            for n_buckets in (grow, grow * 2):
+                try:
+                    shards = build_cuckoo_shards(
+                        vh, "_h", self.config.bloom_shards, n_buckets
+                    )
+                    self._shard_cuckoo_buckets = n_buckets
+                    self._write_seen_shards(shards)  # action runs here
+                    rebuilt = True
+                    break
+                except Exception as e2:  # noqa: BLE001
+                    if not self._is_cuckoo_full(e2):
+                        raise
+        if not rebuilt:
+            self._bloom_shards = None
+            self._shards_disabled = True
+        print(
+            "[crawl] WARNING: sharded cuckoo filter over capacity — "
+            + (
+                f"rebuilt at {self._shard_cuckoo_buckets} buckets/shard "
+                "from the visited table (size bloom_expected_urls "
+                "correctly to avoid this rebuild)"
+                if rebuilt
+                else "advisory pre-filter DISABLED for this run "
+                "(exact anti-join only)"
+            ),
+            flush=True,
+        )
 
     def _cuckoo_degrade(self) -> None:
         """Over-capacity recovery for the driver-held cuckoo filter:
@@ -414,23 +520,37 @@ class CrawlEngine:
                 )
             return
         if self.config.bloom_shards > 1:
+            if getattr(self, "_shards_disabled", False):
+                return  # advisory layer degraded off for this run
             if self.config.seen_filter == "cuckoo":
                 from .operators.cuckoo import (
                     build_cuckoo_shards,
                     merge_cuckoo_shards,
                 )
 
-                delta = build_cuckoo_shards(
-                    vh, "_h", self.config.bloom_shards,
-                    self._shard_cuckoo_buckets,
-                )
-                merged = (
-                    delta
-                    if self._bloom_shards is None
-                    else merge_cuckoo_shards(
-                        self._bloom_shards, delta, self._shard_cuckoo_buckets
+                # build/merge are lazy — an over-capacity shard raises
+                # CuckooFull executor-side at the _write_seen_shards
+                # action, so the degrade catch wraps the whole chain
+                # (same contract as the driver-mode path: advisory
+                # filters degrade, never abort the crawl).
+                try:
+                    delta = build_cuckoo_shards(
+                        vh, "_h", self.config.bloom_shards,
+                        self._shard_cuckoo_buckets,
                     )
-                )
+                    merged = (
+                        delta
+                        if self._bloom_shards is None
+                        else merge_cuckoo_shards(
+                            self._bloom_shards, delta,
+                            self._shard_cuckoo_buckets,
+                        )
+                    )
+                    self._write_seen_shards(merged)
+                except Exception as e:  # noqa: BLE001
+                    if not self._is_cuckoo_full(e):
+                        raise
+                    self._sharded_cuckoo_degrade()
             else:
                 delta = build_bloom_shards(
                     vh, "_h", self.config.bloom_shards,
@@ -441,7 +561,7 @@ class CrawlEngine:
                     if self._bloom_shards is None
                     else merge_bloom_shards(self._bloom_shards, delta)
                 )
-            self._write_seen_shards(merged)
+                self._write_seen_shards(merged)
         elif self.config.seen_filter == "cuckoo":
             from .operators.cuckoo import build_cuckoo
 
@@ -467,16 +587,55 @@ class CrawlEngine:
             )
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _swap_in(path: str, tmp: str) -> None:
+        """Replace directory ``path`` with ``tmp`` such that at every
+        instant at least ONE complete artifact exists on disk: the old
+        directory is renamed ASIDE (``path + '.old'``) before the new
+        one is renamed into place, and only then deleted. A crash
+        between the renames leaves ``path.old`` (recovered by
+        :meth:`_recover_swaps`); the naive rmtree-then-rename order
+        would leave NEITHER artifact."""
+        old = path + ".old"
+        shutil.rmtree(old, ignore_errors=True)  # stale from a prior crash
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+
+    def _recover_swaps(self) -> None:
+        """Repair a checkpoint interrupted mid-swap: for every leftover
+        ``<name>.old`` round artifact, restore it if the swap never
+        completed (``<name>`` missing) else discard it (swap completed,
+        cleanup didn't); stray ``<name>.tmp`` dirs are always discarded
+        (the rewrite they staged never committed)."""
+        if not os.path.isdir(self._dir):
+            return
+        for d in os.listdir(self._dir):
+            rdir = os.path.join(self._dir, d)
+            if not (d.startswith("round=") and os.path.isdir(rdir)):
+                continue
+            for entry in os.listdir(rdir):
+                p = os.path.join(rdir, entry)
+                if entry.endswith(".old"):
+                    dest = p[: -len(".old")]
+                    if os.path.isdir(dest):
+                        shutil.rmtree(p)
+                    else:
+                        os.rename(p, dest)
+                elif entry.endswith(".tmp"):
+                    shutil.rmtree(p, ignore_errors=True)
+
     def _rewrite_minus(
         self, round_no: int, name: str, join_keys: list[str],
         drop_keys: DataFrame,
     ) -> None:
         """Rewrite one round artifact without the rows matching
-        ``drop_keys`` (distributed anti-join; tmp-dir + rename swap so a
-        crash mid-rewrite leaves either the old or the new artifact, not
-        a half-written one). A production deployment would use Iceberg
-        row-level deletes here instead of rewriting the round slice —
-        `sources/corpus_io.py` documents the jar constraint."""
+        ``drop_keys`` (distributed anti-join; tmp-dir write + aside-swap
+        so a crash mid-rewrite leaves either the old or the new
+        artifact, never neither or a half-written one). A production
+        deployment would use Iceberg row-level deletes here instead of
+        rewriting the round slice — `sources/corpus_io.py` documents
+        the jar constraint."""
         path = self._ckpt(f"round={round_no:05d}", name)
         if not os.path.isdir(path):
             return
@@ -485,8 +644,7 @@ class CrawlEngine:
         )
         tmp = path + ".tmp"
         kept.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(path)
-        os.rename(tmp, path)
+        self._swap_in(path, tmp)
 
     def expire(self, urls: DataFrame | list[tuple[str, str]]) -> int:
         """Recrawl/delete workflow — the engine-level re-flight analog
@@ -520,6 +678,7 @@ class CrawlEngine:
         if isinstance(urls, list):
             urls = spark.createDataFrame(urls, "sitemap_id string, url string")
         urls = urls.select("sitemap_id", "url").dropDuplicates()
+        self._recover_swaps()  # repair a checkpoint crashed mid-swap
         rounds = self._complete_rounds()
         if not rounds:
             raise RuntimeError("expire() needs a completed crawl checkpoint")
@@ -614,8 +773,7 @@ class CrawlEngine:
                 urls.select("sitemap_id", F.col("url").alias("src")),
             )
             self._rewrite_minus(r, "images", ["url"], urls.select("url"))
-        shutil.rmtree(fpath)
-        os.rename(ftmp, fpath)
+        self._swap_in(fpath, ftmp)
         shutil.rmtree(snap, ignore_errors=True)
         if hasattr(self, "_visited_total"):
             self._visited_total = max(0, self._visited_total - n_expired)
@@ -726,6 +884,7 @@ class CrawlEngine:
         if cfg.bloom_shards > 1:
             self._bloom_shards = None
             self._bloom_version = 0
+            self._shards_disabled = False
             proto = BloomFilter.sized_for(
                 max(1, cfg.bloom_expected_urls // cfg.bloom_shards)
             )
@@ -740,6 +899,8 @@ class CrawlEngine:
             self._bloom_version = 0
         self._visited_total = 0
 
+        if resume:
+            self._recover_swaps()  # repair a checkpoint crashed mid-swap
         done = self._complete_rounds()
         if resume and done:
             start_round = done[-1] + 1
@@ -844,17 +1005,21 @@ class CrawlEngine:
                     cfg.image_keys_broadcast_max is None
                     or n_dequeued <= cfg.image_keys_broadcast_max
                 ):
-                    # clamp to always-broadcast: a shuffle semi-join here
-                    # would move `bytes` — the invariant this block exists
-                    # to protect. The real fix past broadcast scale is a
-                    # url-bucketed corpus co-located with the frontier.
-                    print(
-                        f"[crawl] WARNING: dequeued {n_dequeued} rows exceed "
+                    # hard bound, not a fallback: a shuffle semi-join
+                    # here would move `bytes` (the invariant this block
+                    # protects) and an unbounded broadcast would fail on
+                    # Spark's broadcast limit / driver memory anyway —
+                    # later, with a worse error. Fail now, with the fix.
+                    raise RuntimeError(
+                        f"dequeued {n_dequeued} rows exceed "
                         f"image_keys_broadcast_max="
-                        f"{cfg.image_keys_broadcast_max}; broadcasting the "
-                        "url key slice anyway (a shuffle would move bytes). "
-                        "Bucket the corpus by url for dequeues this large.",
-                        flush=True,
+                        f"{cfg.image_keys_broadcast_max}: the image-decode "
+                        "prune is broadcast-only (a shuffle semi-join would "
+                        "move the `bytes` column). Bucket the corpus by url "
+                        "and co-locate the frontier for dequeues this "
+                        "large, lower per_host_budget, or raise "
+                        "image_keys_broadcast_max (None = unbounded) if "
+                        "the driver can hold the key slice."
                     )
                 keys = F.broadcast(dequeued.select("url"))
                 img_pages = self.image_side.join(keys, "url", "left_semi")

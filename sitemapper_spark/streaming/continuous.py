@@ -79,28 +79,43 @@ class ContinuousCrawl:
 
     def _process_admitted_batch(self, admission: DataFrame, epoch_id: int) -> None:
         """Budgeted path: the batch is the admission operator's output —
-        crawl the admitted rows, park the rejected ones."""
-        if admission.isEmpty():
-            return
-        rejected = admission.filter(~F.col("admitted")).select(
-            "url",
-            "sitemap_id",
-            F.lit(self.config.max_depth).alias("max_depth"),
-            "priority",
-        )
-        if not rejected.isEmpty():
-            rejected.write.mode("append").json(
-                os.path.join(self.output_dir, "rejected")
+        crawl the admitted rows, park the rejected ones.
+
+        The batch is persisted for the duration: it is consumed by
+        multiple actions (emptiness probes, the rejected write, the
+        crawl), and an un-persisted stateful-admission plan would
+        re-execute ``applyInPandasWithState`` — re-committing its state
+        store — once per action. Rejected seeds go to an
+        ``epoch=<id>``-keyed subdirectory with overwrite mode so a
+        retried epoch (foreachBatch is at-least-once) rewrites rather
+        than duplicates its rows."""
+        admission = admission.persist()
+        try:
+            if admission.isEmpty():
+                return
+            rejected = admission.filter(~F.col("admitted")).select(
+                "url",
+                "sitemap_id",
+                F.lit(self.config.max_depth).alias("max_depth"),
+                "priority",
             )
-        admitted = admission.filter(F.col("admitted")).select(
-            "url",
-            "sitemap_id",
-            F.lit(self.config.max_depth).alias("max_depth"),
-            "priority",
-        )
-        if admitted.isEmpty():
-            return
-        self._crawl(admitted, epoch_id)
+            if not rejected.isEmpty():
+                rejected.write.mode("overwrite").json(
+                    os.path.join(
+                        self.output_dir, "rejected", f"epoch={epoch_id:06d}"
+                    )
+                )
+            admitted = admission.filter(F.col("admitted")).select(
+                "url",
+                "sitemap_id",
+                F.lit(self.config.max_depth).alias("max_depth"),
+                "priority",
+            )
+            if admitted.isEmpty():
+                return
+            self._crawl(admitted, epoch_id)
+        finally:
+            admission.unpersist()
 
     def start(self, trigger_once: bool = True):
         """Start the stream; ``trigger_once`` drains pending seed files

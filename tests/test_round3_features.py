@@ -305,11 +305,14 @@ def test_continuous_crawl_lifetime_budget_across_epochs(spark, tmp_path):
         and os.path.isdir(os.path.join(out_dir, d, "adjacency"))
     ]
     assert len(adj_dirs) == 1  # no epoch-2 crawl happened
+    # rejected rows land under epoch=<id>/ (overwrite per epoch — an
+    # at-least-once foreachBatch retry rewrites, never duplicates);
+    # reading the base dir surfaces `epoch` as a partition column
     rejected = spark.read.json(os.path.join(out_dir, "rejected")).collect()
     assert [r["url"] for r in rejected] == [ROOT + "/tomato.html"]
     # parked rows are seed-file shaped: re-submittable after a raise
     assert set(rejected[0].asDict()) == {"url", "sitemap_id", "max_depth",
-                                         "priority"}
+                                         "priority", "epoch"}
 
 
 def test_streaming_budget_none_is_unlimited(spark, tmp_path):

@@ -1,0 +1,216 @@
+"""Round-4 robustness features (round-3 ADVICE): sharded-cuckoo
+over-capacity degrade, seen-shards geometry manifest, crash-safe
+artifact swaps, and the image-broadcast hard bound."""
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from sitemapper_spark import corpus as cm
+from sitemapper_spark.engine import CrawlConfig, CrawlEngine
+
+ROOT = cm.testsite_root()
+
+SEEDS = [(ROOT, "s0", 3, 0.0)]
+
+
+class TestShardedCuckooDegrade:
+    def test_overflow_degrades_not_aborts(self, spark, tmp_path, capsys):
+        """A CuckooFull raised executor-side in the sharded build/merge
+        must degrade (rebuild bigger or advisory-off), never abort the
+        crawl — same contract as the driver-mode paths (round-3 ADVICE
+        item 1). Output must equal a filterless run."""
+        corpus = cm.synth_corpus(
+            spark, n_pages=600, n_hosts=4, links_per_page=5,
+            with_images=False, num_partitions=4,
+        )
+        # seed half the corpus (the mega-bench shape) so round 0 alone
+        # dequeues ~300 URLs — far past the forced-tiny filter capacity
+        seeds = corpus.filter(F.xxhash64("url") % 2 == 0).select(
+            "url",
+            F.concat(F.lit("s-"), F.col("host")).alias("sitemap_id"),
+            F.lit(2).alias("max_depth"),
+            F.lit(0.0).alias("priority"),
+        )
+        # bloom_expected_urls=1 → sized_for floor: 16 buckets x 4 slots
+        # per shard = 128 total slots across 2 shards; the crawl visits
+        # ~300+ URLs → guaranteed overflow during absorb.
+        cfg = CrawlConfig(
+            max_depth=2, use_bloom=True, seen_filter="cuckoo",
+            bloom_shards=2, bloom_min_visited=0, bloom_expected_urls=1,
+            num_partitions=4, checkpoint_dir=str(tmp_path / "ck_ovf"),
+        )
+        engine = CrawlEngine(spark, corpus, cfg)
+        res = engine.run(seeds)  # must not raise
+        out = capsys.readouterr().out
+        assert "sharded cuckoo filter over capacity" in out
+
+        ref_cfg = CrawlConfig(
+            max_depth=2, use_bloom=False, num_partitions=4,
+            checkpoint_dir=str(tmp_path / "ck_ref"),
+        )
+        ref = CrawlEngine(spark, corpus, ref_cfg).run(seeds)
+        got = {(r["sitemap_id"], r["url"], r["depth"])
+               for r in res.visited.collect()}
+        want = {(r["sitemap_id"], r["url"], r["depth"])
+                for r in ref.visited.collect()}
+        assert got == want  # advisory layer: identical output either way
+
+
+class TestShardGeometryManifest:
+    def _run_sharded(self, spark, ckpt, **over):
+        corpus = cm.testsite_corpus(spark)
+        cfg = CrawlConfig(
+            max_depth=3, use_bloom=True, bloom_min_visited=0,
+            bloom_expected_urls=10_000, bloom_shards=4,
+            num_partitions=4, checkpoint_dir=ckpt, **over,
+        )
+        engine = CrawlEngine(spark, corpus, cfg)
+        engine.run(SEEDS)
+        return engine
+
+    def test_manifest_written_and_adopted(self, spark, tmp_path):
+        """Resuming with a CHANGED bloom_expected_urls must adopt the
+        persisted geometry (manifest is authoritative), not probe the
+        old bitsets with new-sized math — mismatched geometry produces
+        false NEGATIVES, which bypass the exact anti-join (round-3
+        ADVICE item 2)."""
+        ckpt = str(tmp_path / "ck_geo")
+        e1 = self._run_sharded(spark, ckpt)
+        meta = json.load(open(os.path.join(ckpt, "bloom_shards",
+                                           "FILTER_META.json")))
+        assert meta["seen_filter"] == "bloom" and meta["n_shards"] == 4
+        assert meta["m_bits"] == e1._shard_m_bits
+
+        # a new engine with 100x the expected urls — config-derived
+        # m_bits differs, but load must adopt the persisted geometry
+        corpus = cm.testsite_corpus(spark)
+        cfg2 = CrawlConfig(
+            max_depth=3, use_bloom=True, bloom_min_visited=0,
+            bloom_expected_urls=1_000_000, bloom_shards=4,
+            num_partitions=4, checkpoint_dir=ckpt,
+        )
+        e2 = CrawlEngine(spark, corpus, cfg2)
+        e2._dir = ckpt
+        e2._bloom_version = 0
+        from sitemapper_spark.operators.bloom import BloomFilter
+        proto = BloomFilter.sized_for(1_000_000 // 4)
+        e2._shard_m_bits, e2._shard_k = proto.m_bits, proto.k
+        assert e2._shard_m_bits != e1._shard_m_bits  # config would differ
+        assert e2._load_seen_shards() is True
+        assert e2._shard_m_bits == e1._shard_m_bits  # manifest adopted
+        assert e2._shard_k == e1._shard_k
+
+    def test_mismatched_filter_type_rejected(self, spark, tmp_path):
+        """Changed seen_filter or shard count ⇒ the persisted shards
+        are unusable (wrong shard routing) — load must refuse and force
+        the rebuild-from-visited path."""
+        ckpt = str(tmp_path / "ck_geo2")
+        self._run_sharded(spark, ckpt)
+        corpus = cm.testsite_corpus(spark)
+        for over in ({"seen_filter": "cuckoo"}, {"bloom_shards": 8}):
+            kw = dict(
+                max_depth=3, use_bloom=True, bloom_min_visited=0,
+                bloom_expected_urls=10_000, bloom_shards=4,
+                num_partitions=4, checkpoint_dir=ckpt,
+            )
+            kw.update(over)
+            cfg = CrawlConfig(**kw)
+            e = CrawlEngine(spark, corpus, cfg)
+            e._dir = ckpt
+            e._bloom_version = 0
+            from sitemapper_spark.operators.cuckoo import CuckooFilter
+            e._shard_cuckoo_buckets = CuckooFilter.sized_for(2500).n_buckets
+            assert e._load_seen_shards() is False
+
+    def test_missing_manifest_rejected(self, spark, tmp_path):
+        """A pre-manifest checkpoint (no FILTER_META.json) must NOT be
+        adopted blind — rebuild-from-visited is correct, guessing
+        geometry is not."""
+        ckpt = str(tmp_path / "ck_geo3")
+        e1 = self._run_sharded(spark, ckpt)
+        os.remove(os.path.join(ckpt, "bloom_shards", "FILTER_META.json"))
+        e1._bloom_version = 0
+        assert e1._load_seen_shards() is False
+
+
+class TestCrashSafeSwaps:
+    def _crawl(self, spark, ckpt):
+        corpus = cm.testsite_corpus(spark)
+        cfg = CrawlConfig(
+            max_depth=3, use_bloom=False, num_partitions=4,
+            checkpoint_dir=ckpt,
+        )
+        engine = CrawlEngine(spark, corpus, cfg)
+        return engine, engine.run(SEEDS)
+
+    def test_swap_leaves_artifact_at_every_instant(self, spark, tmp_path):
+        """expire()'s rewrites go through the aside-swap: simulate the
+        two crash windows by hand and check _recover_swaps repairs both
+        (round-3 ADVICE item 3 — the old rmtree-then-rename order had a
+        window where NEITHER artifact existed)."""
+        ckpt = str(tmp_path / "ck_swap")
+        engine, res = self._crawl(spark, ckpt)
+        vdir = os.path.join(ckpt, "round=00000", "visited")
+        rows_before = spark.read.parquet(vdir).count()
+
+        # crash window A: old renamed aside, new never landed
+        os.rename(vdir, vdir + ".old")
+        engine._recover_swaps()
+        assert os.path.isdir(vdir) and not os.path.isdir(vdir + ".old")
+        assert spark.read.parquet(vdir).count() == rows_before
+
+        # crash window B: swap completed but cleanup didn't; plus a
+        # stale .tmp from an uncommitted rewrite
+        shutil.copytree(vdir, vdir + ".old")
+        os.makedirs(vdir + ".tmp")
+        engine._recover_swaps()
+        assert os.path.isdir(vdir)
+        assert not os.path.isdir(vdir + ".old")
+        assert not os.path.isdir(vdir + ".tmp")
+        assert spark.read.parquet(vdir).count() == rows_before
+
+    def test_resume_runs_recovery(self, spark, tmp_path):
+        """run(resume=True) on a checkpoint crashed mid-swap must heal
+        it and finish the crawl normally."""
+        ckpt = str(tmp_path / "ck_swap2")
+        engine, res1 = self._crawl(spark, ckpt)
+        adj1 = res1.adjacency_dict("s0")
+        vdir = os.path.join(ckpt, "round=00001", "visited")
+        os.rename(vdir, vdir + ".old")  # crash window A
+
+        corpus = cm.testsite_corpus(spark)
+        cfg = CrawlConfig(
+            max_depth=3, use_bloom=False, num_partitions=4,
+            checkpoint_dir=ckpt,
+        )
+        res2 = CrawlEngine(spark, corpus, cfg).run(SEEDS, resume=True)
+        assert res2.adjacency_dict("s0") == adj1
+
+
+class TestImageBroadcastBound:
+    def test_over_cap_raises_with_guidance(self, spark, tmp_path):
+        """image_keys_broadcast_max must BOUND (raise with the fix in
+        the message), not silently unbounded-broadcast (round-3 ADVICE
+        item 4) and never shuffle `bytes`."""
+        corpus = cm.testsite_corpus(spark)
+        cfg = CrawlConfig(
+            max_depth=2, use_bloom=False, decode_verify_images=True,
+            image_keys_broadcast_max=1, num_partitions=4,
+            checkpoint_dir=str(tmp_path / "ck_cap"),
+        )
+        with pytest.raises(RuntimeError, match="image_keys_broadcast_max"):
+            CrawlEngine(spark, corpus, cfg).run(SEEDS)
+
+    def test_none_is_unbounded(self, spark, tmp_path):
+        corpus = cm.testsite_corpus(spark)
+        cfg = CrawlConfig(
+            max_depth=2, use_bloom=False, decode_verify_images=True,
+            image_keys_broadcast_max=None, num_partitions=4,
+            checkpoint_dir=str(tmp_path / "ck_cap2"),
+        )
+        res = CrawlEngine(spark, corpus, cfg).run(SEEDS)
+        assert res.visited.count() > 1
