@@ -39,9 +39,20 @@ BENCH_QUERIES = [
     "minhash_near_dup",
     "simhash_dup_pairs",
     "srp_near_dup",
+    "srp_near_dup_prod",  # production band config (8x8 bits) — the
+    # scale-shape row; srp_near_dup keeps the degenerate-but-provable
+    # 32x2 oracle config for comparison
     "ivf_ann_topk",
     "image_near_dup",
 ]
+
+# Per-query timing is best-of-N (default 2) warm passes: this box is
+# hypervisor-shared (steal flips 1→20% within a minute) and JIT warmup
+# inflates first passes 2-4x, so single cold passes swung 20-70%
+# round-over-round on UNCHANGED queries — useless for regression
+# catching. Best-of-2 warm is the same protocol tools/bench_scaling.py
+# follows. Override with SPARK_GRAFT_BENCH_PASSES=1 for a quick look.
+BENCH_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
 
 
 def corpus_path(n_pages: int, n_hosts: int) -> str:
@@ -145,16 +156,27 @@ def main() -> None:
     n_hosts = 64
     corpus_dir = ensure_corpus(spark, n_pages, n_hosts)
 
-    crawl = run_crawl_bench(spark, corpus_dir, tag=f"c{cpus}", shape="mega")
-    crawl_deep = run_crawl_bench(spark, corpus_dir, tag=f"c{cpus}", shape="deep")
+    def crawl_best(shape: str) -> dict:
+        runs = [
+            run_crawl_bench(spark, corpus_dir, tag=f"c{cpus}", shape=shape)
+            for _ in range(BENCH_PASSES)
+        ]
+        return min(runs, key=lambda r: r["sec"])
+
+    crawl = crawl_best("mega")
+    crawl_deep = crawl_best("deep")
 
     qtimes: dict[str, float] = {}
     registry = qlib.all_queries()
     for name in BENCH_QUERIES:
         fn = registry[name]
-        t0 = time.perf_counter()
-        n = fn(spark, sf_dir).count()
-        qtimes[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(BENCH_PASSES):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        qtimes[name] = round(best, 3)
     qtimes["crawl_mega"] = crawl["sec"]
     qtimes["crawl_deep_bfs"] = crawl_deep["sec"]
 
@@ -173,6 +195,7 @@ def main() -> None:
                 "urls_per_sec": crawl["urls_per_sec"],
                 "corpus_pages": n_pages,
                 "cpus": cpus,
+                "timing": f"best_of_{BENCH_PASSES}_warm",
             }
         )
     )

@@ -130,8 +130,14 @@ def srp_lsh_near_dup_pairs(
     ).persist()
     bits_per_chunk = n_bits // n_chunks
     mask = (1 << bits_per_chunk) - 1
+    # Band on IDs ONLY (mirrors the MinHash pipeline, dedup_ops.py):
+    # the band self-join multiplies every row n_chunks×, so carrying the
+    # d-dim vector through it multiplies shuffle bytes by ~n_chunks·d·8
+    # per row — at d=768 that is the difference between shuffling ids
+    # and shuffling the corpus several times over. Vectors are joined
+    # back AFTER pair dedup, for the (small) verify sliver only.
     chunks = sigs.select(
-        id_col, "v",
+        id_col,
         F.posexplode(
             F.array(
                 *[
@@ -142,23 +148,27 @@ def srp_lsh_near_dup_pairs(
             )
         ).alias("chunk_id", "chunk"),
     )
-    left = chunks.select(
-        F.col(id_col).alias("id_a"), F.col("v").alias("v_a"), "chunk_id", "chunk"
-    )
-    right = chunks.select(
-        F.col(id_col).alias("id_b"), F.col("v").alias("v_b"), "chunk_id", "chunk"
-    )
+    left = chunks.select(F.col(id_col).alias("id_a"), "chunk_id", "chunk")
+    right = chunks.select(F.col(id_col).alias("id_b"), "chunk_id", "chunk")
     cand = (
         left.join(right, ["chunk_id", "chunk"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "v_a", "v_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = sigs.select(id_col, "v")
+    pairs = cand.join(
+        vecs.select(F.col(id_col).alias("id_a"), F.col("v").alias("v_a")),
+        "id_a",
+    ).join(
+        vecs.select(F.col(id_col).alias("id_b"), F.col("v").alias("v_b")),
+        "id_b",
     )
     cos = _fold_dot(F.col("v_a"), F.col("v_b")) / (
         _fold_norm(F.col("v_a")) * _fold_norm(F.col("v_b"))
     )
     return (
-        cand.withColumn("cos_sim", F.round(cos, 4))
+        pairs.withColumn("cos_sim", F.round(cos, 4))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )

@@ -737,6 +737,58 @@ WHERE a.vec_id < b.vec_id
 """
 
 
+def q_srp_near_dup_prod(spark, sf_dir):
+    """SRP-LSH at the PRODUCTION band configuration (8 chunks × 8
+    bits), oracled via planted-twin structure instead of brute-force
+    collision.
+
+    The oracled ``srp_near_dup`` proves recall at a degenerate 32×2-bit
+    banding (2-bit bands collide for unrelated vectors with p ≥ 1/4, so
+    the candidate set is near-all-pairs — provable recall, quadratic
+    plan). At scale one runs wide bands that PRUNE; recall then comes
+    from structure, not saturation. This query pins that configuration
+    with a contract that stays exact: each embedding gets a twin scaled
+    by 2.0 — a power of two, so every float is scaled exactly, every
+    projection dot product keeps its sign bit-for-bit, and twin SRP
+    signatures are IDENTICAL (collide in all 8 bands, recall certain).
+    cos(v, 2v) rounds to 1.0000 in both engines, and the corpus's
+    non-twin pairs stay far below the 0.99 threshold (max pairwise
+    cos ≈ 0.51 on this data), so output = exactly the planted pairs —
+    while the 8-bit bands prune unrelated candidates (p ≈ 2^-8/band)
+    instead of admitting everything."""
+    from .operators.similarity_ops import srp_lsh_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    twins = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    base = emb.select("vec_id", "embedding").unionByName(twins)
+    return srp_lsh_near_dup_pairs(
+        base, dim=dim, threshold=0.99, n_bits=64, n_chunks=8
+    )
+
+
+SQL_SRP_NEAR_DUP_PROD = """
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform(embedding::DOUBLE[], x -> x * 2.0)
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
+FROM base a JOIN base b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.99
+"""
+
+
 def q_doc_fingerprint(spark, sf_dir):
     """Order-insensitive n-gram document fingerprint (md5 over the
     sorted distinct 4-gram set — recomputed verbatim by the oracle)."""
@@ -890,6 +942,7 @@ _ORACLE: dict[str, str] = {
     "minhash_near_dup": SQL_MINHASH_NEAR_DUP,
     "simhash_dup_pairs": SQL_SIMHASH_DUP_PAIRS,
     "srp_near_dup": SQL_SRP_NEAR_DUP,
+    "srp_near_dup_prod": SQL_SRP_NEAR_DUP_PROD,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "image_near_dup": SQL_IMAGE_NEAR_DUP,
     "multimodal_decode_verify": SQL_MULTIMODAL_DECODE_VERIFY,
@@ -925,6 +978,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "srp_near_dup": q_srp_near_dup,
+    "srp_near_dup_prod": q_srp_near_dup_prod,
     "doc_fingerprint": q_doc_fingerprint,
     "image_near_dup": q_image_near_dup,
     "multimodal_decode_verify": q_multimodal_decode_verify,

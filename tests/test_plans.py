@@ -103,6 +103,33 @@ def test_bucketed_corpus_fetch_join_shuffles_only_frontier(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {ref.split(':', 1)[1]}")
 
 
+def test_srp_band_join_shuffles_ids_only(spark, sf):
+    """The SRP-LSH band self-join must exchange (id, chunk_id, chunk)
+    rows ONLY — carrying the d-dim vector through it multiplies shuffle
+    bytes by ~n_chunks·d·8 per row (round-3 verdict 'what's wrong' #3).
+    Vectors may appear only in the post-dedup verify joins."""
+    import re
+
+    from sitemapper_spark.operators.similarity_ops import (
+        srp_lsh_near_dup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()["embedding"])
+    pairs = srp_lsh_near_dup_pairs(emb, dim=dim, threshold=0.9, n_chunks=8)
+    text = plan_text(pairs)
+    # The banding side is the Generate (posexplode) operator(s); their
+    # Input list is exactly what feeds the band self-join. It must be
+    # (id, sig) — the vector column `v` must never even reach them.
+    gens = re.findall(r"\(\d+\) Generate\s*\nInput (\[\d+\]: \[[^\]]*\])", text)
+    assert gens, text
+    for inp in gens:
+        assert "sig#" in inp, inp
+        assert " v#" not in inp and "[v#" not in inp, (
+            "band-join side carries the embedding vector: " + inp
+        )
+
+
 def test_anti_join_strategy_present(spark, sf):
     cust = spark.read.parquet(f"{sf}/customer.parquet")
     orders = spark.read.parquet(f"{sf}/orders.parquet")
