@@ -141,6 +141,15 @@ class CrawlConfig:
     # fetch/decodes the image payload of visited pages and appends image
     # rows (url, phash, ok, psnr_db, caption_ok); bytes are read from
     # the corpus scan and never shuffled (semi-join prune, mapInPandas)
+    pipeline_rounds: bool = True  # small-round tail pipelining: a
+    # round's background writes are joined (and its manifest written)
+    # at the end of the NEXT round, so the write tail overlaps the next
+    # round's compute — the fixpoint-floor lever for BFS-shaped crawls
+    # with many small rounds. "Manifest present = round complete" is
+    # preserved exactly (the manifest is still written only after every
+    # artifact is durable); a crash loses at most one manifest and
+    # resume re-runs that round deterministically. Fat rounds
+    # (> DIRECT_ABSORB_MAX dequeued) always settle inline.
     salt_buckets: int = 8
     hot_host_threshold: int = 100_000  # frontier rows per host before salting
     max_rounds: int = 1000
@@ -646,6 +655,71 @@ class CrawlEngine:
         kept.write.mode("overwrite").parquet(tmp)
         self._swap_in(path, tmp)
 
+    def select_stale(
+        self,
+        max_age_rounds: int | None = None,
+        hosts: list[str] | None = None,
+        predicate: Column | None = None,
+    ) -> DataFrame:
+        """Recrawl POLICY: select the (sitemap_id, url) cohort that
+        should be re-fetched, from the engine's own crawl state — the
+        policy layer over the :meth:`expire` mechanism (reference
+        analog: the re-flight loop re-publishes stale work,
+        `crawlmanager.go:84-89`; here staleness is explicit).
+
+        Composable criteria (AND of those given):
+
+        * ``max_age_rounds`` — age-based recrawl: visited rows whose
+          recorded ``round`` is at least this many rounds behind the
+          latest completed round (a page fetched long ago is stale);
+        * ``hosts`` — robots-change recrawl: every visited URL of the
+          given hosts (when a host's robots.txt or structure changed,
+          its whole slice must be re-fetched);
+        * ``predicate`` — arbitrary Column over the visited schema
+          (sitemap_id, url, host, depth, round).
+
+        Returns a DataFrame ready for :meth:`expire` /
+        :meth:`recrawl`. Pure plan — nothing is collected."""
+        if not hasattr(self, "_dir"):
+            if self.config.checkpoint_dir is None:
+                raise RuntimeError(
+                    "select_stale() needs a checkpoint: run() first or "
+                    "set CrawlConfig.checkpoint_dir"
+                )
+            self._dir = self.config.checkpoint_dir
+        rounds = self._complete_rounds()
+        if not rounds:
+            raise RuntimeError(
+                "select_stale() needs a completed crawl checkpoint"
+            )
+        visited = self._read_rounds("visited", rounds)
+        cond = F.lit(True)
+        if max_age_rounds is not None:
+            cond = cond & (F.col("round") < F.lit(rounds[-1] - max_age_rounds + 1))
+        if hosts is not None:
+            cond = cond & F.col("host").isin(list(hosts))
+        if predicate is not None:
+            cond = cond & predicate
+        return visited.filter(cond).select("sitemap_id", "url")
+
+    def recrawl(
+        self,
+        max_age_rounds: int | None = None,
+        hosts: list[str] | None = None,
+        predicate: Column | None = None,
+        seeds: DataFrame | list[tuple[str, str, int, float]] | None = None,
+    ) -> int:
+        """Policy-driven recrawl: select the stale cohort
+        (:meth:`select_stale`), expire it (:meth:`expire`), and — when
+        ``seeds`` is given — immediately ``run(resume=True)`` so the
+        cohort is re-fetched with updated rounds while every other row
+        stays byte-identical. Returns the number of expired rows."""
+        cohort = self.select_stale(max_age_rounds, hosts, predicate)
+        n = self.expire(cohort)
+        if n and seeds is not None:
+            self.run(seeds, resume=True)
+        return n
+
     def expire(self, urls: DataFrame | list[tuple[str, str]]) -> int:
         """Recrawl/delete workflow — the engine-level re-flight analog
         (`crawlmanager.go:84-89` re-publishes failed URLs; here expiry
@@ -692,6 +766,14 @@ class CrawlEngine:
             "overwrite"
         ).parquet(snap)
         expired = spark.read.parquet(snap)
+        # From here on, derive the key set from the SNAPSHOT, never from
+        # the caller's plan: a policy cohort (select_stale) is a lazy
+        # plan over the very round files the rewrites below replace —
+        # consuming it after the first rewrite would read deleted files.
+        # (Equivalent: a URL not in `visited` cannot appear in edges
+        # src or images either, so intersecting with visited loses
+        # nothing.)
+        urls = expired.select("sitemap_id", "url")
         n_expired = expired.count()
         if n_expired == 0:
             shutil.rmtree(snap, ignore_errors=True)
@@ -948,6 +1030,31 @@ class CrawlEngine:
             self._visited_rounds = visited_rounds
 
         round_no = start_round
+
+        # Round-tail pipelining (small-round regime): a round's
+        # background writes (edges/lineage/images) are JOINED — and its
+        # manifest written — at the end of the NEXT round's body, so
+        # round N's write tail overlaps round N+1's compute instead of
+        # serializing before it. Resume stays correct by construction:
+        # the manifest is written strictly AFTER every artifact of its
+        # round is durable, so "manifest present" still means "round
+        # complete"; a crash inside round N+1 simply loses round N's
+        # manifest and resume re-runs round N deterministically
+        # (overwrite-mode writes, parallelism-invariant output). Fat
+        # rounds settle inline — their writes are serial anyway and
+        # holding two rounds' multi-GB caches would add memory pressure
+        # for nothing.
+        pending_tail: dict | None = None
+
+        def settle_tail(tail: dict) -> None:
+            for th in tail["threads"]:
+                th.join()
+            for df in tail["unpersist"]:
+                df.unpersist()
+            for bc in tail["bcs"]:
+                bc.destroy()
+            self._manifest(tail["round_no"], tail["manifest"])
+
         while round_no < cfg.max_rounds:
             t_round = time.perf_counter()
             if frontier.isEmpty():
@@ -1087,8 +1194,19 @@ class CrawlEngine:
                 ).otherwise(F.array().cast("array<string>")),
             ).persist()  # reused by edges + lineage; fetch/UDF run once
 
-            # 5) edges (F9) — duplicates collapse at aggregation time,
-            #    like UpdateURLWithLinks' set-union (`sitemap.go:56-66`).
+            # 5) edges (F9) — duplicates collapse like
+            #    UpdateURLWithLinks' set-union (`sitemap.go:56-66`),
+            #    WITHOUT a shuffle: (sitemap_id, url) is unique in
+            #    `dequeued` (seed dropDuplicates + first-wins candidate
+            #    dedup + carry anti-join — the F4 invariant), so edge
+            #    duplicates can only arise WITHIN one page's link list
+            #    (two raw hrefs canonicalizing to the same URL).
+            #    array_distinct before the explode is therefore exactly
+            #    equivalent to a global dropDuplicates(sitemap_id, src,
+            #    dst) — which previously exchanged the whole exploded
+            #    edge set (~5 GB/round at 4M-row rounds) for what is
+            #    provably row-local work. Measured as part of the
+            #    round-4 scaling fix (BENCH.md).
             #
             #    Write strategy is round-size-adaptive, like the fetch
             #    and absorb paths: SMALL rounds (≤ DIRECT_ABSORB_MAX,
@@ -1104,10 +1222,10 @@ class CrawlEngine:
             edges_plan = cleaned.select(
                 "sitemap_id",
                 F.col("url").alias("src"),
-                F.explode("_links").alias("dst"),
+                F.explode(F.array_distinct("_links")).alias("dst"),
                 "depth",
                 F.lit(round_no).alias("round"),
-            ).dropDuplicates(["sitemap_id", "src", "dst"])
+            )
 
             # 6) lineage/metrics (F12 / crawl_jobs status rows) —
             #    written DISTRIBUTEDLY (never collected: at web scale
@@ -1305,26 +1423,31 @@ class CrawlEngine:
                 round_no,
                 "frontier_next",
             )
-            if edges_thread is not None:  # round artifacts before manifest
-                edges_thread.join()
-            if lineage_thread is not None:
-                lineage_thread.join()
-            if image_thread is not None:
-                image_thread.join()  # before dequeued is unpersisted
-            for df in (dequeued, carry, cleaned, survivors_base):
-                df.unpersist()
-            if overlap_writes:
-                edges_new.unpersist()
-            for bc in round_bcs:  # all consumers materialized above
-                bc.destroy()
-            self._manifest(
-                round_no,
-                {
+            tail = {
+                "threads": [
+                    th
+                    for th in (edges_thread, lineage_thread, image_thread)
+                    if th is not None
+                ],
+                "unpersist": [dequeued, carry, cleaned, survivors_base]
+                + ([edges_new] if overlap_writes else []),
+                "bcs": round_bcs,
+                "round_no": round_no,
+                "manifest": {
                     "round": round_no,
                     "visited_rounds": visited_rounds,
                     "sitemap_ids": sitemap_ids,
                 },
-            )
+            }
+            if pending_tail is not None:
+                # the PREVIOUS round settles only now — its write tail
+                # rode under this whole round's compute
+                settle_tail(pending_tail)
+                pending_tail = None
+            if overlap_writes and cfg.pipeline_rounds:
+                pending_tail = tail  # settle at the end of the next round
+            else:
+                settle_tail(tail)
             if cfg.verbose:
                 print(
                     f"[crawl] round {round_no}: visited_total="
@@ -1333,6 +1456,9 @@ class CrawlEngine:
                     flush=True,
                 )
             round_no += 1
+        if pending_tail is not None:  # loop exited: settle the last round
+            settle_tail(pending_tail)
+            pending_tail = None
 
         # the filter now reflects the full visited table: a later
         # expire() can delete from it in place and run(resume=True)

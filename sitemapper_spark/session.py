@@ -47,6 +47,21 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # zstd for shuffle/spill AND checkpoint parquet: measured on the
+        # 8M-page mega crawl (BENCH.md r4) — at local[32] the wide level
+        # is limited by shuffle+write IO volume, not CPU, and halving
+        # the bytes moved bought 47.5k -> 75.1k urls/s warm (lz4/snappy
+        # -> zstd), while local[8] (CPU-bound) paid ~4%. Converting IO
+        # into parallel CPU is exactly the trade a 1000-executor
+        # cluster wants; override via env for A/B.
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "zstd"),
+        )
+        .config(
+            "spark.sql.parquet.compression.codec",
+            os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "zstd"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -50,7 +50,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 WORKER = r"""
-import hashlib, json, shutil, sys, time
+import hashlib, json, shutil, sys, threading, time
 sys.path.insert(0, %(repo)r)
 from pyspark.sql import functions as F
 from sitemapper_spark.session import get_spark
@@ -65,6 +65,7 @@ fetch_shape = sys.argv[5]
 n_pages = int(sys.argv[6])
 shuffle_parts = int(sys.argv[7]) if sys.argv[7] != "auto" else cpus
 n_buckets = int(sys.argv[8]) if len(sys.argv) > 8 else 32
+decomp = len(sys.argv) > 9 and sys.argv[9] == "1"
 
 
 def cpu_times():
@@ -75,6 +76,47 @@ def cpu_times():
     user, nice, system, idle, iowait, irq, softirq, steal = v[:8]
     total = sum(v[:8])
     return user + nice + system, steal, total
+
+
+def disk_totals():
+    # (sectors_read, sectors_written, io_ticks_ms) summed over real disks
+    r = w = t = 0
+    with open("/proc/diskstats") as f:
+        for line in f:
+            p = line.split()
+            if p[2].startswith(("loop", "ram", "dm-")) or p[2][-1].isdigit():
+                continue
+            r += int(p[5]); w += int(p[9]); t += int(p[12])
+    return r, w, t
+
+
+class Sampler(threading.Thread):
+    # 1 Hz CPU/disk timeline — tells data-parallel phases (busy ~ all
+    # cores) apart from serial/IO floors (busy ~ 1 core, io busy)
+    def __init__(self):
+        super().__init__(daemon=True)
+        self.rows, self.stop = [], threading.Event()
+
+    def run(self):
+        while not self.stop.is_set():
+            b, s, t = cpu_times(); r, w, tick = disk_totals()
+            self.rows.append((time.time(), b, s, t, r, w, tick))
+            self.stop.wait(1.0)
+
+    def window(self, t0, t1):
+        rs = [x for x in self.rows if t0 <= x[0] <= t1]
+        if len(rs) < 2:
+            return {}
+        a, z = rs[0], rs[-1]
+        dt = max(1, z[3] - a[3])
+        return {
+            "busy_pct": round(100.0 * (z[1] - a[1]) / dt, 1),
+            "steal_pct": round(100.0 * (z[2] - a[2]) / dt, 1),
+            "disk_read_mb": round((z[4] - a[4]) * 512 / 2**20, 1),
+            "disk_write_mb": round((z[5] - a[5]) * 512 / 2**20, 1),
+            "disk_busy_pct": round(
+                100.0 * (z[6] - a[6]) / (1000.0 * (z[0] - a[0])), 1),
+        }
 
 
 spark = get_spark("scale_%%d" %% cpus, master="local[%%d]" %% cpus,
@@ -121,6 +163,9 @@ else:
 # bucketed additionally co-locates the corpus side (no corpus shuffle)
 bfm = 2_000_000 if fetch_shape == "broadcast" else None
 
+sampler = Sampler()
+sampler.start()
+
 results = []
 for i in range(n_passes):
     run = "cold" if i == 0 else "warm%%d" %% i
@@ -131,11 +176,13 @@ for i in range(n_passes):
                       bloom_expected_urls=max(4_000_000, 2 * n_pages),
                       checkpoint_dir=ckpt,
                       hot_host_threshold=200_000, decode_verify_images=True,
-                      broadcast_fetch_max=bfm)
+                      broadcast_fetch_max=bfm, verbose=decomp)
     b0, s0, t0j = cpu_times()
+    wall0 = time.time()
     t0 = time.perf_counter()
     res = CrawlEngine(spark, corpus, cfg).run(seeds_df)
     elapsed = time.perf_counter() - t0
+    wall1 = time.time()
     b1, s1, t1j = cpu_times()
     # run() returns only after every round's visited/edges/frontier
     # parquet is written — the crawl is fully materialized at `elapsed`.
@@ -152,9 +199,11 @@ for i in range(n_passes):
                     "urls_per_sec": round(len(visited) / elapsed, 1),
                     "steal_pct": round(100.0 * (s1 - s0) / dtot, 1),
                     "busy_pct": round(100.0 * (b1 - b0) / dtot, 1),
+                    "io": sampler.window(wall0, wall1),
                     "sha256_visited": digest})
     print("PASS:" + json.dumps(results[-1]), flush=True)
     shutil.rmtree(ckpt, ignore_errors=True)
+sampler.stop.set()
 print("RESULT:" + json.dumps(results))
 """
 
@@ -169,13 +218,13 @@ def prewarm_page_cache(corpus_path: str) -> None:
 
 def run_level(cpus: int, corpus_path: str, mode: str, passes: int,
               fetch_shape: str, partitions: str = "auto",
-              buckets: int = 32) -> list[dict]:
+              buckets: int = 32, decomp: bool = False) -> list[dict]:
     prewarm_page_cache(corpus_path)
     script = WORKER % {"repo": REPO}
     n_pages = int(corpus_path.split("_p")[1].split("_")[0])
     cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c",
            script, str(cpus), corpus_path, mode, str(passes), fetch_shape,
-           str(n_pages), partitions, str(buckets)]
+           str(n_pages), partitions, str(buckets), "1" if decomp else "0"]
     out = subprocess.run(
         cmd, capture_output=True, text=True, timeout=7200, cwd=REPO,
         env={**os.environ, "SPARK_GRAFT_DRIVER_MEM": "24g"},
@@ -184,7 +233,22 @@ def run_level(cpus: int, corpus_path: str, mode: str, passes: int,
     if not lines:
         sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:])
         raise RuntimeError(f"worker local[{cpus}] produced no result")
-    return json.loads(lines[-1][len("RESULT:"):])
+    results = json.loads(lines[-1][len("RESULT:"):])
+    if decomp:
+        # attach the engine's verbose per-write/per-round timings: the
+        # `[crawl]` lines printed before each PASS line belong to it
+        bucket: list[str] = []
+        it = iter(results)
+        for line in out.stdout.splitlines():
+            if line.startswith("[crawl]"):
+                bucket.append(line.strip())
+            elif line.startswith("PASS:"):
+                try:
+                    next(it)["crawl_log"] = bucket
+                except StopIteration:
+                    pass
+                bucket = []
+    return results
 
 
 def main() -> None:
@@ -201,6 +265,7 @@ def main() -> None:
     fetch_shape = flags.get("--fetch", "broadcast") or "broadcast"
     partitions = flags.get("--partitions", "auto") or "auto"
     buckets = int(flags.get("--buckets", "32") or 32)  # bucketed-fetch nb
+    decomp = "--decomp" in flags  # per-write engine timings + io timeline
 
     sys.path.insert(0, REPO)
     from sitemapper_spark.corpus import synth_corpus
@@ -218,7 +283,7 @@ def main() -> None:
         spark.stop()
 
     levels_out = {c: run_level(c, corpus_path, mode, passes, fetch_shape,
-                               partitions, buckets)
+                               partitions, buckets, decomp)
                   for c in levels}
     digests = {r["sha256_visited"] for rs in levels_out.values() for r in rs}
     assert len(digests) == 1, "crawl output differs across parallelism levels!"
@@ -252,7 +317,9 @@ def main() -> None:
         "pinned": True,
     }
     print(json.dumps(report))
-    with open(os.path.join(REPO, f"bench_scaling_{mode}_{lo}_{hi}.json"), "w") as f:
+    suffix = "_decomp" if decomp else ""
+    fn = f"bench_scaling_{mode}_{lo}_{hi}{suffix}.json"
+    with open(os.path.join(REPO, fn), "w") as f:
         json.dump(report, f, indent=1)
 
 
