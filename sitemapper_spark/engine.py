@@ -141,6 +141,15 @@ class CrawlConfig:
     # fetch/decodes the image payload of visited pages and appends image
     # rows (url, phash, ok, psnr_db, caption_ok); bytes are read from
     # the corpus scan and never shuffled (semi-join prune, mapInPandas)
+    frontier_handoff: bool = True  # round N's frontier_next is handed
+    # to round N+1 as an eager localCheckpoint (same repartition
+    # exchange, no parquet encode on the critical path, lineage
+    # truncated to an in-memory scan) while the parquet checkpoint
+    # writes in the background; the write is joined before the round's
+    # manifest, so resume semantics are unchanged. The r4 decomp
+    # measured the foreground frontier write at 13-23 s/round at mega
+    # sizes — pure critical-path time. Old checkpoint blocks are freed
+    # by Spark's ContextCleaner when the handle is garbage-collected.
     pipeline_rounds: bool = True  # small-round tail pipelining: a
     # round's background writes are joined (and its manifest written)
     # at the end of the NEXT round, so the write tail overlaps the next
@@ -1041,9 +1050,12 @@ class CrawlEngine:
         # complete"; a crash inside round N+1 simply loses round N's
         # manifest and resume re-runs round N deterministically
         # (overwrite-mode writes, parallelism-invariant output). Fat
-        # rounds settle inline — their writes are serial anyway and
-        # holding two rounds' multi-GB caches would add memory pressure
-        # for nothing.
+        # rounds settle their HEAVY tail (edges/lineage/image writes +
+        # the multi-GB caches) inline — holding two rounds' caches
+        # would add memory pressure — but still defer a LIGHT tail:
+        # the frontier-handoff background write, the small frontier
+        # cache, and the manifest (see the handoff block at the round
+        # end). The manifest invariant is identical in both regimes.
         pending_tail: dict | None = None
 
         def settle_tail(tail: dict) -> None:
@@ -1053,7 +1065,8 @@ class CrawlEngine:
                 df.unpersist()
             for bc in tail["bcs"]:
                 bc.destroy()
-            self._manifest(tail["round_no"], tail["manifest"])
+            if tail["manifest"] is not None:
+                self._manifest(tail["round_no"], tail["manifest"])
 
         while round_no < cfg.max_rounds:
             t_round = time.perf_counter()
@@ -1416,14 +1429,38 @@ class CrawlEngine:
             # frontier repartition: the politeness windows and joins
             # shuffle on their own keys, so a round-start repartition
             # would be a second full-frontier exchange for nothing.
-            frontier = self._write(
-                carry.unionByName(survivors).repartition(
-                    npart, "host_hash", "salt"
-                ),
-                round_no,
-                "frontier_next",
+            fr_plan = carry.unionByName(survivors).repartition(
+                npart, "host_hash", "salt"
             )
-            tail = {
+            # Frontier HANDOFF: the frontier_next parquet write was the
+            # last FOREGROUND write on the round's critical path (r4
+            # decomp: 13-23 s/round at mega sizes). Materialize the
+            # (repartitioned) frontier into the block-manager cache
+            # instead — same exchange, no parquet encode on the
+            # critical path — hand the cached DataFrame to the next
+            # round's dequeue, and write the parquet in the BACKGROUND.
+            # Durability semantics are unchanged: the write is joined,
+            # and only then the manifest written, in the deferred tail
+            # below — "manifest present = round complete" holds
+            # exactly. localCheckpoint (NOT persist) is load-bearing:
+            # the frontier plan contains the previous frontier TWICE
+            # (under carry AND under survivors→dequeued), so chaining
+            # cached plans grows lineage 2^rounds — localCheckpoint
+            # truncates the logical plan to an in-memory scan, O(1)
+            # lineage per round. Block durability is the parquet write;
+            # a lost localCheckpoint block fails the round and resume
+            # re-runs it from the manifest, same as any crash.
+            frontier_thread = None
+            fr_cached = None
+            if cfg.frontier_handoff:
+                fr_cached = fr_plan.localCheckpoint(eager=True)
+                frontier_thread = _BgAction(
+                    self._write, fr_cached, round_no, "frontier_next"
+                )
+                frontier = fr_cached
+            else:
+                frontier = self._write(fr_plan, round_no, "frontier_next")
+            heavy_tail = {
                 "threads": [
                     th
                     for th in (edges_thread, lineage_thread, image_thread)
@@ -1432,6 +1469,13 @@ class CrawlEngine:
                 "unpersist": [dequeued, carry, cleaned, survivors_base]
                 + ([edges_new] if overlap_writes else []),
                 "bcs": round_bcs,
+                "round_no": round_no,
+                "manifest": None,  # manifest travels with the light tail
+            }
+            light_tail = {
+                "threads": [frontier_thread] if frontier_thread else [],
+                "unpersist": [fr_cached] if fr_cached is not None else [],
+                "bcs": [],
                 "round_no": round_no,
                 "manifest": {
                     "round": round_no,
@@ -1445,9 +1489,22 @@ class CrawlEngine:
                 settle_tail(pending_tail)
                 pending_tail = None
             if overlap_writes and cfg.pipeline_rounds:
-                pending_tail = tail  # settle at the end of the next round
+                # small rounds: defer everything to the next round end
+                pending_tail = {
+                    "threads": heavy_tail["threads"] + light_tail["threads"],
+                    "unpersist": heavy_tail["unpersist"]
+                    + light_tail["unpersist"],
+                    "bcs": round_bcs,
+                    "round_no": round_no,
+                    "manifest": light_tail["manifest"],
+                }
             else:
-                settle_tail(tail)
+                # fat rounds: big writes + caches settle inline (two
+                # rounds of multi-GB caches won't fit), but the
+                # frontier write + manifest still ride under the next
+                # round's compute
+                settle_tail(heavy_tail)
+                pending_tail = light_tail
             if cfg.verbose:
                 print(
                     f"[crawl] round {round_no}: visited_total="

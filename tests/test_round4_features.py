@@ -342,3 +342,72 @@ class TestImageBroadcastBound:
         )
         res = CrawlEngine(spark, corpus, cfg).run(SEEDS)
         assert res.visited.count() > 1
+
+
+class TestRoundTailPipelining:
+    """pipeline_rounds (round-4 scaling work): a small round's
+    background writes settle — and its manifest is written — at the end
+    of the NEXT round, overlapping the write tail with compute. The
+    invariant under test: "manifest present = round complete" survives
+    the deferral, so a crash that loses the last manifest (and even one
+    of that round's deferred artifacts) resumes to the identical final
+    state."""
+
+    def _run(self, spark, corpus, ckpt, **over):
+        cfg = CrawlConfig(
+            max_depth=5, use_bloom=False, num_partitions=4,
+            checkpoint_dir=ckpt, **over,
+        )
+        return CrawlEngine(spark, corpus, cfg).run(SEEDS)
+
+    @staticmethod
+    def _state(res):
+        vis = {(r["url"], r["depth"], r["round"])
+               for r in res.visited.collect()}
+        edg = {(r["src"], r["dst"]) for r in res.edges.collect()}
+        return vis, edg, res.adjacency_dict("s0")
+
+    def test_pipelined_equals_unpipelined(self, spark, tmp_path):
+        """Pipelining is pure scheduling: output must be byte-identical
+        with it off."""
+        corpus = cm.testsite_corpus(spark)
+        on = self._run(spark, corpus, str(tmp_path / "ck_on"))
+        off = self._run(spark, corpus, str(tmp_path / "ck_off"),
+                        pipeline_rounds=False)
+        assert self._state(on) == self._state(off)
+
+    def test_crash_losing_deferred_tail_resumes_identical(
+        self, spark, tmp_path
+    ):
+        """Adversarial crash: kill the run after the final round's
+        foreground writes but before its deferred tail settled — i.e.
+        delete the last MANIFEST.json AND that round's edges artifact
+        (a deferred background write that 'never finished'). resume
+        must re-run exactly that round and converge to the reference
+        state."""
+        corpus = cm.testsite_corpus(spark)
+        ref = self._run(spark, corpus, str(tmp_path / "ck_ref"))
+
+        ckpt = str(tmp_path / "ck_crash")
+        res = self._run(spark, corpus, ckpt)
+        rounds = sorted(
+            int(d.split("=")[1]) for d in os.listdir(ckpt)
+            if d.startswith("round=")
+        )
+        last = rounds[-1]
+        assert res.rounds == last + 1
+        # simulate the crash window pipeline_rounds opens: manifest of
+        # the last round missing, one of its deferred artifacts gone
+        os.remove(os.path.join(ckpt, f"round={last:05d}", "MANIFEST.json"))
+        shutil.rmtree(os.path.join(ckpt, f"round={last:05d}", "edges"),
+                      ignore_errors=True)
+
+        cfg = CrawlConfig(
+            max_depth=5, use_bloom=False, num_partitions=4,
+            checkpoint_dir=ckpt,
+        )
+        resumed = CrawlEngine(spark, corpus, cfg).run(SEEDS, resume=True)
+        assert self._state(resumed) == self._state(ref)
+        # and the re-run round's manifest is back
+        assert os.path.exists(
+            os.path.join(ckpt, f"round={last:05d}", "MANIFEST.json"))
