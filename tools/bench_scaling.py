@@ -35,9 +35,20 @@ Protocol (round-2; each item root-caused from a measured distortion):
    (10^8-10^9 rows) do. The depth-4 small-seed variant is kept as
    ``--mode=rounds`` for the fixpoint-overhead picture.
 
+6. **Per-pass heap + CPU-speed probe**: each pass row records the
+   JVM's actual Runtime.maxMemory() (``heap_gb`` — the env-var route
+   was once silently overridden and mislabelled a whole A/B) and a
+   bracketing single-thread sha256 probe (``cpu_probe_ms`` before/
+   after — hypervisor slow-cycle windows inflate wall time at ~0%
+   recorded steal, and the probe catches what the steal column
+   cannot).
+
+Heap: set SPARK_GRAFT_DRIVER_MEM in the environment (default 24g).
+
 Usage: python tools/bench_scaling.py [n_pages] [n_hosts] [img_w img_h]
        [--levels=8,32] [--mode=mega|rounds] [--passes=3]
        [--fetch=broadcast|shuffle|bucketed] [--buckets=32]
+       [--out=FILE.json]
 """
 
 from __future__ import annotations
@@ -163,6 +174,31 @@ else:
 # bucketed additionally co-locates the corpus side (no corpus shuffle)
 bfm = 2_000_000 if fetch_shape == "broadcast" else None
 
+# Ground truth for the JVM heap, read back from the live JVM rather
+# than from any env var/flag: a round-4 A/B "at 48g" silently ran at
+# 24g because run_level's env dict literal overrode the inherited
+# SPARK_GRAFT_DRIVER_MEM. Recording Runtime.maxMemory() in every pass
+# row makes that class of mislabel impossible to repeat.
+heap_gb = round(
+    spark._jvm.java.lang.Runtime.getRuntime().maxMemory() / 2**30, 1)
+
+_PROBE_BUF = b"\x5a" * (16 << 20)
+
+
+def cpu_probe_ms():
+    # Fixed single-thread sha256 workload (~100-300 ms): measures the
+    # box's effective CPU speed at this instant. Hypervisor slow-cycle
+    # windows on this host show up as wall-time inflation with ~0%%
+    # /proc/stat steal (observed 99 s vs 152 s for identical passes at
+    # <=0.4%% steal), so steal alone cannot certify a clean window;
+    # this probe brackets every pass with a direct speed sample.
+    # sha256 (single C thread) is immune to BLAS thread-count effects.
+    t0 = time.perf_counter()
+    for _ in range(6):
+        hashlib.sha256(_PROBE_BUF).digest()
+    return round((time.perf_counter() - t0) * 1000.0, 1)
+
+
 sampler = Sampler()
 sampler.start()
 
@@ -177,6 +213,7 @@ for i in range(n_passes):
                       checkpoint_dir=ckpt,
                       hot_host_threshold=200_000, decode_verify_images=True,
                       broadcast_fetch_max=bfm, verbose=decomp)
+    probe0 = cpu_probe_ms()
     b0, s0, t0j = cpu_times()
     wall0 = time.time()
     t0 = time.perf_counter()
@@ -184,6 +221,7 @@ for i in range(n_passes):
     elapsed = time.perf_counter() - t0
     wall1 = time.time()
     b1, s1, t1j = cpu_times()
+    probe1 = cpu_probe_ms()
     # run() returns only after every round's visited/edges/frontier
     # parquet is written — the crawl is fully materialized at `elapsed`.
     # The identity digest below is verification, not crawl work: a
@@ -199,6 +237,8 @@ for i in range(n_passes):
                     "urls_per_sec": round(len(visited) / elapsed, 1),
                     "steal_pct": round(100.0 * (s1 - s0) / dtot, 1),
                     "busy_pct": round(100.0 * (b1 - b0) / dtot, 1),
+                    "heap_gb": heap_gb,
+                    "cpu_probe_ms": [probe0, probe1],
                     "io": sampler.window(wall0, wall1),
                     "sha256_visited": digest})
     print("PASS:" + json.dumps(results[-1]), flush=True)
@@ -225,9 +265,16 @@ def run_level(cpus: int, corpus_path: str, mode: str, passes: int,
     cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c",
            script, str(cpus), corpus_path, mode, str(passes), fetch_shape,
            str(n_pages), partitions, str(buckets), "1" if decomp else "0"]
+    # Honor an explicit SPARK_GRAFT_DRIVER_MEM from the caller; default
+    # 24g (the protocol heap every recorded run actually used). NOTE:
+    # until round 4 this line hardcoded "24g", silently overriding the
+    # caller's env — the runs labelled "48g" in round-4 notes ran at
+    # 24g. The worker now records Runtime.maxMemory() per pass row
+    # (heap_gb) so the JSON, not the label, is authoritative.
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
     out = subprocess.run(
         cmd, capture_output=True, text=True, timeout=7200, cwd=REPO,
-        env={**os.environ, "SPARK_GRAFT_DRIVER_MEM": "24g"},
+        env={**os.environ, "SPARK_GRAFT_DRIVER_MEM": mem},
     )
     lines = [l for l in out.stdout.splitlines() if l.startswith("RESULT:")]
     if not lines:
@@ -314,11 +361,13 @@ def main() -> None:
         "n_pages": n_pages,
         "n_hosts": n_hosts,
         "img": f"{img_w}x{img_h}",
+        "heap_gb": b_hi.get("heap_gb"),
         "pinned": True,
     }
     print(json.dumps(report))
     suffix = "_decomp" if decomp else ""
-    fn = f"bench_scaling_{mode}_{lo}_{hi}{suffix}.json"
+    fn = (flags.get("--out") or
+          f"bench_scaling_{mode}_{lo}_{hi}{suffix}.json")
     with open(os.path.join(REPO, fn), "w") as f:
         json.dump(report, f, indent=1)
 
