@@ -1,0 +1,67 @@
+"""Pins for tools/bench_scaling.py (no SparkSession needed).
+
+The round-4 retraction (BENCH.md §3.2) happened because run_level's
+env dict literal silently overrode the caller's SPARK_GRAFT_DRIVER_MEM
+— a whole heap A/B ran at one heap. These tests pin the fixed
+contract: the caller's env wins, the worker template stays formattable
+and parseable, and the pass rows carry the heap/probe telemetry fields
+that make a future mislabel visible in the JSON itself.
+"""
+
+import ast
+import importlib.util
+import os
+
+import pytest
+
+HARNESS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tools", "bench_scaling.py",
+)
+
+
+@pytest.fixture(scope="module")
+def bs():
+    spec = importlib.util.spec_from_file_location("bench_scaling", HARNESS)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_worker_template_formats_and_parses(bs):
+    # %-formatting with a stray unescaped % raises; the formatted
+    # script must be valid python
+    script = bs.WORKER % {"repo": "/root/repo"}
+    ast.parse(script)
+
+
+def test_worker_records_heap_and_probe(bs):
+    script = bs.WORKER % {"repo": "/root/repo"}
+    assert "heap_gb" in script
+    assert "cpu_probe_ms" in script
+    # ground truth from the live JVM, not from env/labels
+    assert "maxMemory" in script
+
+
+def test_run_level_honors_caller_heap(bs, monkeypatch):
+    """The subprocess env must carry the caller's heap, not a pin."""
+    captured = {}
+
+    class _Out:
+        stdout = 'RESULT:[{"sha256_visited": "x", "run": "cold"}]'
+        stderr = ""
+
+    def fake_run(cmd, **kw):
+        captured["env"] = kw["env"]
+        return _Out()
+
+    monkeypatch.setattr(bs.subprocess, "run", fake_run)
+    monkeypatch.setattr(bs, "prewarm_page_cache", lambda p: None)
+
+    monkeypatch.setenv("SPARK_GRAFT_DRIVER_MEM", "48g")
+    bs.run_level(8, "/tmp/x_p1000_h2_i1x1_r2", "mega", 1, "shuffle")
+    assert captured["env"]["SPARK_GRAFT_DRIVER_MEM"] == "48g"
+
+    monkeypatch.delenv("SPARK_GRAFT_DRIVER_MEM")
+    bs.run_level(8, "/tmp/x_p1000_h2_i1x1_r2", "mega", 1, "shuffle")
+    assert captured["env"]["SPARK_GRAFT_DRIVER_MEM"] == "24g"  # default
