@@ -65,3 +65,36 @@ def test_run_level_honors_caller_heap(bs, monkeypatch):
     monkeypatch.delenv("SPARK_GRAFT_DRIVER_MEM")
     bs.run_level(8, "/tmp/x_p1000_h2_i1x1_r2", "mega", 1, "shuffle")
     assert captured["env"]["SPARK_GRAFT_DRIVER_MEM"] == "24g"  # default
+
+
+def test_certify_bimodal_windows(bs):
+    """Probe-relative certification: clean passes certify, slow-cycle
+    and stolen passes don't, and a pre-probe row never certifies."""
+    levels = {
+        "32": [
+            {"run": "cold", "cpu_probe_ms": [90.0, 92.0], "steal_pct": 0.2},
+            # slow-cycle window: probe blown, steal near zero
+            {"run": "warm1", "cpu_probe_ms": [88.0, 536.8], "steal_pct": 0.5},
+            # stolen window: probes clean, steal high
+            {"run": "warm2", "cpu_probe_ms": [91.0, 93.0], "steal_pct": 7.3},
+            {"run": "warm3", "cpu_probe_ms": [89.0, 94.0], "steal_pct": 0.4},
+        ],
+        "8": [
+            {"run": "warm1"},  # old harness row: no probe data
+        ],
+    }
+    floor = bs.certify(levels)
+    assert floor == 88.0
+    flags = [r["certified"] for r in levels["32"]]
+    assert flags == [True, False, False, True]
+    assert levels["8"][0]["certified"] is False
+
+
+def test_certify_all_slow_certifies_nothing(bs):
+    levels = {"32": [
+        {"run": "warm1", "cpu_probe_ms": [300.0, 400.0], "steal_pct": 0.0},
+        {"run": "warm2", "cpu_probe_ms": [290.0, 380.0], "steal_pct": 0.0},
+    ]}
+    bs.certify(levels)
+    # floor-relative: 380 > 1.25*290, 400 > 1.25*290 → nothing certifies
+    assert not any(r["certified"] for r in levels["32"])

@@ -298,6 +298,30 @@ def run_level(cpus: int, corpus_path: str, mode: str, passes: int,
     return results
 
 
+def certify(levels_out: dict) -> float | None:
+    """Mark each pass row ``certified`` — true when its bracketing CPU
+    probes stayed within 1.25× the invocation's probe floor AND its
+    steal was ≤ 1%. Root-cause (BENCH.md §1.2): the 32-level spread is
+    bimodal — probe-certified windows reproduce to < 1%, polluted
+    windows are arbitrary (slow cycles show up in the probe even when
+    steal reads ~0). Probe-floor-relative thresholding self-calibrates
+    across CPUs; if every window was slow, nothing certifies, which is
+    the honest answer. Returns the probe floor (ms) or None when the
+    worker predates the probe columns."""
+    probes = [p for rs in levels_out.values() for r in rs
+              for p in (r.get("cpu_probe_ms") or [])]
+    floor = min(probes) if probes else None
+    for rs in levels_out.values():
+        for r in rs:
+            pr = r.get("cpu_probe_ms")
+            r["certified"] = bool(
+                pr and floor is not None
+                and max(pr) <= 1.25 * floor
+                and (r.get("steal_pct") or 0.0) <= 1.0
+            )
+    return floor
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     flags = {a.split("=")[0]: (a.split("=", 1) + [""])[1]
@@ -337,11 +361,16 @@ def main() -> None:
     lo, hi = min(levels), max(levels)
     factor = hi / lo
 
+    probe_floor = certify(levels_out)
+
     def best(c):
         """Fastest pass at a level = the least hypervisor-polluted
-        window (cold pass excluded: one-time JIT/python-worker spawn)."""
+        window (cold pass excluded: one-time JIT/python-worker spawn);
+        probe+steal-certified passes take precedence over merely-fast
+        ones so a lucky-looking polluted pass can't set the headline."""
         warm = [r for r in levels_out[c] if r["run"] != "cold"] or levels_out[c]
-        return min(warm, key=lambda r: r["sec"])
+        cert = [r for r in warm if r.get("certified")]
+        return min(cert or warm, key=lambda r: r["sec"])
 
     b_lo, b_hi = best(lo), best(hi)
     eff_best = (b_hi["urls_per_sec"] / b_lo["urls_per_sec"]) / factor
@@ -349,6 +378,10 @@ def main() -> None:
         "metric": "scaling_efficiency_N_to_4N",
         "value": round(eff_best, 3),
         "eff_best_warm": round(eff_best, 3),
+        "both_levels_certified": bool(
+            b_lo.get("certified") and b_hi.get("certified")),
+        "probe_floor_ms": probe_floor,
+        "certification": "max(cpu_probe_ms) <= 1.25*floor and steal <= 1%",
         "best": {str(lo): b_lo, str(hi): b_hi},
         "levels": {str(k): v for k, v in levels_out.items()},
         "identical_output": True,
