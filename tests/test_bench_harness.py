@@ -67,6 +67,26 @@ def test_run_level_honors_caller_heap(bs, monkeypatch):
     assert captured["env"]["SPARK_GRAFT_DRIVER_MEM"] == "24g"  # default
 
 
+def test_run_level_passes_extra_conf_as_json(bs, monkeypatch):
+    captured = {}
+
+    class _Out:
+        stdout = 'RESULT:[{"sha256_visited": "x", "run": "cold"}]'
+        stderr = ""
+
+    def fake_run(cmd, **kw):
+        captured["cmd"] = cmd
+        return _Out()
+
+    monkeypatch.setattr(bs.subprocess, "run", fake_run)
+    monkeypatch.setattr(bs, "prewarm_page_cache", lambda p: None)
+    conf = {"spark.sql.execution.arrow.maxRecordsPerBatch": "8192"}
+    bs.run_level(8, "/tmp/x_p1000_h2_i1x1_r2", "mega", 1, "shuffle",
+                 extra_conf=conf)
+    import json as _json
+    assert _json.loads(captured["cmd"][-1]) == conf
+
+
 def test_certify_bimodal_windows(bs):
     """Probe-relative certification: clean passes certify, slow-cycle
     and stolen passes don't, and a pre-probe row never certifies."""

@@ -48,7 +48,7 @@ Heap: set SPARK_GRAFT_DRIVER_MEM in the environment (default 24g).
 Usage: python tools/bench_scaling.py [n_pages] [n_hosts] [img_w img_h]
        [--levels=8,32] [--mode=mega|rounds] [--passes=3]
        [--fetch=broadcast|shuffle|bucketed] [--buckets=32]
-       [--out=FILE.json]
+       [--out=FILE.json] [--extra-conf=spark.k1=v1,spark.k2=v2]
 """
 
 from __future__ import annotations
@@ -77,6 +77,7 @@ n_pages = int(sys.argv[6])
 shuffle_parts = int(sys.argv[7]) if sys.argv[7] != "auto" else cpus
 n_buckets = int(sys.argv[8]) if len(sys.argv) > 8 else 32
 decomp = len(sys.argv) > 9 and sys.argv[9] == "1"
+extra_conf = json.loads(sys.argv[10]) if len(sys.argv) > 10 else {}
 
 
 def cpu_times():
@@ -133,7 +134,8 @@ class Sampler(threading.Thread):
 spark = get_spark("scale_%%d" %% cpus, master="local[%%d]" %% cpus,
                   shuffle_partitions=shuffle_parts,
                   extra_conf={"spark.ui.showConsoleProgress": "false",
-                              "spark.sql.files.maxPartitionBytes": "32m"})
+                              "spark.sql.files.maxPartitionBytes": "32m",
+                              **extra_conf})
 corpus = spark.read.parquet(corpus_path)
 
 if fetch_shape == "bucketed":
@@ -258,13 +260,15 @@ def prewarm_page_cache(corpus_path: str) -> None:
 
 def run_level(cpus: int, corpus_path: str, mode: str, passes: int,
               fetch_shape: str, partitions: str = "auto",
-              buckets: int = 32, decomp: bool = False) -> list[dict]:
+              buckets: int = 32, decomp: bool = False,
+              extra_conf: dict | None = None) -> list[dict]:
     prewarm_page_cache(corpus_path)
     script = WORKER % {"repo": REPO}
     n_pages = int(corpus_path.split("_p")[1].split("_")[0])
     cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c",
            script, str(cpus), corpus_path, mode, str(passes), fetch_shape,
-           str(n_pages), partitions, str(buckets), "1" if decomp else "0"]
+           str(n_pages), partitions, str(buckets), "1" if decomp else "0",
+           json.dumps(extra_conf or {})]
     # Honor an explicit SPARK_GRAFT_DRIVER_MEM from the caller; default
     # 24g (the protocol heap every recorded run actually used). NOTE:
     # until round 4 this line hardcoded "24g", silently overriding the
@@ -337,6 +341,11 @@ def main() -> None:
     partitions = flags.get("--partitions", "auto") or "auto"
     buckets = int(flags.get("--buckets", "32") or 32)  # bucketed-fetch nb
     decomp = "--decomp" in flags  # per-write engine timings + io timeline
+    # --extra-conf=spark.k1=v1,spark.k2=v2 → session conf A/Bs (e.g.
+    # arrow maxRecordsPerBatch) without editing the harness
+    extra_conf = dict(
+        kv.split("=", 1) for kv in flags.get("--extra-conf", "").split(",")
+        if "=" in kv)
 
     sys.path.insert(0, REPO)
     from sitemapper_spark.corpus import synth_corpus
@@ -354,7 +363,7 @@ def main() -> None:
         spark.stop()
 
     levels_out = {c: run_level(c, corpus_path, mode, passes, fetch_shape,
-                               partitions, buckets, decomp)
+                               partitions, buckets, decomp, extra_conf)
                   for c in levels}
     digests = {r["sha256_visited"] for rs in levels_out.values() for r in rs}
     assert len(digests) == 1, "crawl output differs across parallelism levels!"
@@ -395,6 +404,7 @@ def main() -> None:
         "n_hosts": n_hosts,
         "img": f"{img_w}x{img_h}",
         "heap_gb": b_hi.get("heap_gb"),
+        "extra_conf": extra_conf or None,
         "pinned": True,
     }
     print(json.dumps(report))
