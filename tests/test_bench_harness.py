@@ -110,6 +110,22 @@ def test_certify_bimodal_windows(bs):
     assert levels["8"][0]["certified"] is False
 
 
+def test_certify_bounds_memory_bandwidth_probe(bs):
+    """A pass with clean CPU probes but a blown bandwidth probe (the
+    compute-blind co-tenancy case) must not certify; rows without the
+    bandwidth field (older harness) still certify on CPU+steal."""
+    levels = {"32": [
+        {"run": "warm1", "cpu_probe_ms": [90.0, 91.0], "steal_pct": 0.2,
+         "membw_probe_ms": [30.0, 31.0]},
+        {"run": "warm2", "cpu_probe_ms": [90.0, 92.0], "steal_pct": 0.3,
+         "membw_probe_ms": [30.5, 95.0]},  # bus saturated
+        {"run": "warm3", "cpu_probe_ms": [91.0, 93.0], "steal_pct": 0.2},
+    ]}
+    bs.certify(levels)
+    flags = [r["certified"] for r in levels["32"]]
+    assert flags == [True, False, True]
+
+
 def test_certify_all_slow_certifies_nothing(bs):
     levels = {"32": [
         {"run": "warm1", "cpu_probe_ms": [300.0, 400.0], "steal_pct": 0.0},

@@ -201,6 +201,25 @@ def cpu_probe_ms():
     return round((time.perf_counter() - t0) * 1000.0, 1)
 
 
+import numpy as _np
+_MEMBW_SRC = _np.ones(32 << 20, dtype=_np.uint8)  # 32 MB
+_MEMBW_DST = _np.empty_like(_MEMBW_SRC)
+
+
+def membw_probe_ms():
+    # Fixed single-thread memory-copy workload (~6x32 MB, far past any
+    # cache): measures effective DRAM bandwidth at this instant. The
+    # sha256 probe is compute-bound and BLIND to memory-bandwidth
+    # co-tenancy — a 2026-08-17 evening produced a probe-certified
+    # pass at HALF the clean-window crawl throughput because a
+    # co-tenant was saturating the memory bus, not the cores. This
+    # probe closes that gap; certify() bounds both.
+    t0 = time.perf_counter()
+    for _ in range(6):
+        _MEMBW_DST[:] = _MEMBW_SRC
+    return round((time.perf_counter() - t0) * 1000.0, 1)
+
+
 sampler = Sampler()
 sampler.start()
 
@@ -216,6 +235,7 @@ for i in range(n_passes):
                       hot_host_threshold=200_000, decode_verify_images=True,
                       broadcast_fetch_max=bfm, verbose=decomp)
     probe0 = cpu_probe_ms()
+    membw0 = membw_probe_ms()
     b0, s0, t0j = cpu_times()
     wall0 = time.time()
     t0 = time.perf_counter()
@@ -224,6 +244,7 @@ for i in range(n_passes):
     wall1 = time.time()
     b1, s1, t1j = cpu_times()
     probe1 = cpu_probe_ms()
+    membw1 = membw_probe_ms()
     # run() returns only after every round's visited/edges/frontier
     # parquet is written — the crawl is fully materialized at `elapsed`.
     # The identity digest below is verification, not crawl work: a
@@ -241,6 +262,7 @@ for i in range(n_passes):
                     "busy_pct": round(100.0 * (b1 - b0) / dtot, 1),
                     "heap_gb": heap_gb,
                     "cpu_probe_ms": [probe0, probe1],
+                    "membw_probe_ms": [membw0, membw1],
                     "io": sampler.window(wall0, wall1),
                     "sha256_visited": digest})
     print("PASS:" + json.dumps(results[-1]), flush=True)
@@ -305,23 +327,33 @@ def run_level(cpus: int, corpus_path: str, mode: str, passes: int,
 def certify(levels_out: dict) -> float | None:
     """Mark each pass row ``certified`` — true when its bracketing CPU
     probes stayed within 1.25× the invocation's probe floor AND its
-    steal was ≤ 1%. Root-cause (BENCH.md §1.2): the 32-level spread is
-    bimodal — probe-certified windows reproduce to < 1%, polluted
-    windows are arbitrary (slow cycles show up in the probe even when
-    steal reads ~0). Probe-floor-relative thresholding self-calibrates
-    across CPUs; if every window was slow, nothing certifies, which is
-    the honest answer. Returns the probe floor (ms) or None when the
+    steal was ≤ 1% AND (when recorded) its memory-bandwidth probes
+    stayed within 1.3× their floor. Root-cause (BENCH.md §1.2): the
+    32-level spread is bimodal — probe-certified windows reproduce to
+    < 1%, polluted windows are arbitrary (slow cycles show up in the
+    probe even when steal reads ~0). The bandwidth bound exists
+    because the sha256 probe is compute-bound and blind to co-tenants
+    saturating the memory bus (which halved certified crawl throughput
+    one evening). Floor-relative thresholding self-calibrates across
+    CPUs; if every window was slow, nothing certifies, which is the
+    honest answer. Returns the probe floor (ms) or None when the
     worker predates the probe columns."""
-    probes = [p for rs in levels_out.values() for r in rs
-              for p in (r.get("cpu_probe_ms") or [])]
-    floor = min(probes) if probes else None
+    def _floor(key):
+        vals = [p for rs in levels_out.values() for r in rs
+                for p in (r.get(key) or [])]
+        return min(vals) if vals else None
+
+    floor = _floor("cpu_probe_ms")
+    bw_floor = _floor("membw_probe_ms")
     for rs in levels_out.values():
         for r in rs:
             pr = r.get("cpu_probe_ms")
+            bw = r.get("membw_probe_ms")
             r["certified"] = bool(
                 pr and floor is not None
                 and max(pr) <= 1.25 * floor
                 and (r.get("steal_pct") or 0.0) <= 1.0
+                and (not bw or max(bw) <= 1.3 * bw_floor)
             )
     return floor
 
