@@ -39,6 +39,8 @@ def rows(files):
                     "busy": p.get("busy_pct"),
                     "heap": p.get("heap_gb"),
                     "probe": p.get("cpu_probe_ms"),
+                    "bw": p.get("membw_probe_ms"),
+                    "cert": p.get("certified"),
                 }
 
 
@@ -50,13 +52,15 @@ def main():
         key=lambda r: (r["n_pages"] or 0, r["level"], r["file"], r["run"]),
     )
     hdr = ("pages", "lvl", "run", "sec", "urls/s", "steal%", "busy%",
-           "heap", "probe_ms", "file")
-    print(("%8s %3s %6s %8s %9s %6s %6s %5s %14s  %s") % hdr)
+           "heap", "probe_ms", "bw_ms", "cert", "file")
+    print(("%8s %3s %6s %8s %9s %6s %6s %5s %14s %12s %5s  %s") % hdr)
     for r in data:
         probe = ("%s/%s" % tuple(r["probe"])) if r["probe"] else "-"
-        print("%8s %3d %6s %8s %9s %6s %6s %5s %14s  %s" % (
+        bw = ("%s/%s" % tuple(r["bw"])) if r["bw"] else "-"
+        cert = {True: "YES", False: "no", None: "-"}[r["cert"]]
+        print("%8s %3d %6s %8s %9s %6s %6s %5s %14s %12s %5s  %s" % (
             r["n_pages"], r["level"], r["run"], r["sec"], r["urls_s"],
-            r["steal"], r["busy"], r["heap"] or "-", probe,
+            r["steal"], r["busy"], r["heap"] or "-", probe, bw, cert,
             r["file"].replace("bench_scaling_", "")))
 
 
