@@ -74,13 +74,26 @@ def _host_col(url):
 class _BgAction:
     """Concurrent Spark action that re-raises its failure on join —
     a silently-dead background write must fail the round, not produce
-    an incomplete checkpoint."""
+    an incomplete checkpoint.
 
-    def __init__(self, fn, *args):
+    When ``sc`` is given, the action runs in the ``background``
+    fair-scheduler pool. Under the default FIFO scheduler a
+    "background" job's tasks occupy EVERY task slot until done, so the
+    next foreground job queues behind it and the overlap this class
+    exists for never happens — measured in the round-4 rounds-mode
+    decomposition, where each round's wall tracked its image-decode
+    "background" write almost 1:1. With ``spark.scheduler.mode=FAIR``
+    (session.py) and this pool split, foreground rounds and background
+    writes share task slots fairly, which converts the wide level's
+    idle slots into genuine pipeline overlap."""
+
+    def __init__(self, fn, *args, sc=None):
         self.exc: BaseException | None = None
 
         def runner():
             try:
+                if sc is not None:
+                    sc.setLocalProperty("spark.scheduler.pool", "background")
                 fn(*args)
             except BaseException as e:  # noqa: BLE001 — re-raised on join
                 self.exc = e
@@ -1070,8 +1083,22 @@ class CrawlEngine:
 
         while round_no < cfg.max_rounds:
             t_round = time.perf_counter()
+            # per-phase wall attribution (verbose only): every FOREGROUND
+            # driver action in the round body gets its own bucket, so a
+            # scaling decomposition can tell fixed per-round floor
+            # (planning, job launch, serial actions — hits N and 4N
+            # equally) apart from data-proportional parallel work.
+            ph: dict[str, float] = {}
+            _t = time.perf_counter()
+
+            def _mark(name: str, t0: float = 0.0) -> float:
+                now = time.perf_counter()
+                ph[name] = ph.get(name, 0.0) + now - (t0 or _t)
+                return now
+
             if frontier.isEmpty():
                 break
+            _t = _mark("is_empty")
 
             # 1) politeness dequeue (F3/F10): top-priority per host,
             #    deterministic carry-over instead of random backoff
@@ -1092,6 +1119,7 @@ class CrawlEngine:
                 round_no,
                 "visited",
             )
+            _t = _mark("visited_write")
             visited_rounds = visited_rounds + [round_no]
             self._visited_rounds = visited_rounds
             visited = self._read_rounds("visited", visited_rounds)
@@ -1099,6 +1127,7 @@ class CrawlEngine:
             # just written (cheap, no recompute). Drives the running
             # visited total AND the broadcast-vs-shuffle fetch decision.
             n_dequeued = visited_new.count()
+            _t = _mark("dequeue_count")
             self._visited_total += n_dequeued
             bcast_fetch = (
                 cfg.broadcast_fetch_max is not None
@@ -1145,7 +1174,8 @@ class CrawlEngine:
                 img_pages = self.image_side.join(keys, "url", "left_semi")
                 image_rows = decode_verify(img_pages)
                 image_thread = _BgAction(
-                    self._write, image_rows, round_no, "images"
+                    self._write, image_rows, round_no, "images",
+                    sc=spark.sparkContext,
                 )
 
             bloom_thread = None
@@ -1156,7 +1186,8 @@ class CrawlEngine:
                 # fetch/extract/edges work below; joined before the
                 # candidate split needs the filter.
                 bloom_thread = _BgAction(
-                    self._absorb_into_bloom, visited_new, n_dequeued
+                    self._absorb_into_bloom, visited_new, n_dequeued,
+                    sc=spark.sparkContext,
                 )
 
             # 3) fetch = corpus join (F6); null right side / status!=200
@@ -1272,16 +1303,20 @@ class CrawlEngine:
                 edges_thread = _BgAction(
                     lambda df=edges_new: df.write.mode("overwrite").parquet(
                         self._ckpt(f"round={round_no:05d}", "edges")
-                    )
+                    ),
+                    sc=spark.sparkContext,
                 )
                 lineage_thread = _BgAction(
                     lambda df=lineage_plan: df.write.mode("overwrite").parquet(
                         self._ckpt(f"round={round_no:05d}", "lineage")
-                    )
+                    ),
+                    sc=spark.sparkContext,
                 )
             else:
+                _t = time.perf_counter()
                 edges_new = self._write(edges_plan, round_no, "edges")
                 lineage_new = self._write(lineage_plan, round_no, "lineage")
+                _t = _mark("edges_lineage_write")
 
             # 7) candidates at depth+1, gated by per-sitemap max_depth
             #    (F2) and robots rules
@@ -1321,8 +1356,10 @@ class CrawlEngine:
             candidates = candidates.withColumn(
                 "_h", url_hash_col(F.col("sitemap_id"), F.col("url"))
             )
+            _t = time.perf_counter()
             if bloom_thread is not None:
                 bloom_thread.join()
+            _t = _mark("bloom_join_wait")
             round_bcs: list = []  # filter broadcasts to destroy at round end
             split = None
             if cfg.use_bloom and self._visited_total >= cfg.bloom_min_visited:
@@ -1377,6 +1414,7 @@ class CrawlEngine:
             # O(hosts); a host that just expanded many pages is about
             # to produce many candidates.
             hot_hosts: list[str] = []
+            _t = time.perf_counter()
             if cfg.hot_host_threshold is not None:
                 heat_src = (
                     cleaned.groupBy("host").agg(
@@ -1398,6 +1436,7 @@ class CrawlEngine:
                     .select("host")
                     .collect()
                 ]
+            _t = _mark("heat_collect")
             salt = (
                 F.when(
                     F.col("host").isin(hot_hosts),
@@ -1452,14 +1491,17 @@ class CrawlEngine:
             # re-runs it from the manifest, same as any crash.
             frontier_thread = None
             fr_cached = None
+            _t = time.perf_counter()
             if cfg.frontier_handoff:
                 fr_cached = fr_plan.localCheckpoint(eager=True)
                 frontier_thread = _BgAction(
-                    self._write, fr_cached, round_no, "frontier_next"
+                    self._write, fr_cached, round_no, "frontier_next",
+                    sc=spark.sparkContext,
                 )
                 frontier = fr_cached
             else:
                 frontier = self._write(fr_plan, round_no, "frontier_next")
+            _t = _mark("frontier_materialize")
             heavy_tail = {
                 "threads": [
                     th
@@ -1483,11 +1525,13 @@ class CrawlEngine:
                     "sitemap_ids": sitemap_ids,
                 },
             }
+            _t = time.perf_counter()
             if pending_tail is not None:
                 # the PREVIOUS round settles only now — its write tail
                 # rode under this whole round's compute
                 settle_tail(pending_tail)
                 pending_tail = None
+            _t = _mark("settle_prev_tail")
             if overlap_writes and cfg.pipeline_rounds:
                 # small rounds: defer everything to the next round end
                 pending_tail = {
@@ -1503,13 +1547,23 @@ class CrawlEngine:
                 # rounds of multi-GB caches won't fit), but the
                 # frontier write + manifest still ride under the next
                 # round's compute
+                _t = time.perf_counter()
                 settle_tail(heavy_tail)
+                _t = _mark("settle_heavy_tail")
                 pending_tail = light_tail
             if cfg.verbose:
+                total = time.perf_counter() - t_round
+                # `plan_build` = wall not inside any driver action:
+                # Catalyst analysis, py4j round trips, python plan
+                # construction — the pure fixed floor
+                ph["plan_build"] = total - sum(ph.values())
+                phases = " ".join(
+                    f"{k}={v:.2f}" for k, v in ph.items() if v >= 0.005
+                )
                 print(
                     f"[crawl] round {round_no}: visited_total="
                     f"{self._visited_total} "
-                    f"{time.perf_counter() - t_round:.2f}s",
+                    f"{total:.2f}s | {phases}",
                     flush=True,
                 )
             round_no += 1
