@@ -177,6 +177,25 @@ class CrawlConfig:
     max_rounds: int = 1000
     checkpoint_dir: str | None = None  # None → engine-managed temp dir
     num_partitions: int | None = None
+    adaptive_partitions: bool = True  # size each round's exchanges by
+    # DATA VOLUME (n_dequeued / rows_per_partition, clamped to
+    # [min(8, num_partitions), num_partitions]) instead of a fixed
+    # cores-sized count. Measured (BENCH.md §3.3,
+    # bench_scaling_r4_rounds32_p8.json): on 37k-row fixpoint rounds,
+    # local[32] with 32-way exchanges pays a per-round tiny-task floor
+    # (32 shuffle buckets + 32 parquet files + 32-task stages per job,
+    # each task <2k rows) that made the wide level SLOWER than
+    # local[8]; forcing 8 partitions cut the certified warm pass
+    # 23.2 s → 16.7 s (identical output sha). Fat rounds are untouched
+    # (4M rows / 8192 ≫ num_partitions clamps to num_partitions), so
+    # the mega shape keeps its cores-wide exchanges. This is exactly
+    # AQE's coalescing rationale applied to the exchanges AQE cannot
+    # touch (explicit repartition + map-side bucket/file counts). On a
+    # 1000-executor cluster the same rule keeps a 10^5-row tail round
+    # from scattering into 10^5 ~1-row tasks.
+    rows_per_partition: int = 8192  # target rows per exchange
+    # partition under adaptive_partitions; 37k-row rounds → 8 parts
+    # (the measured winner), 4M-row mega rounds → cores-clamped.
     priority_decay: float = 0.0  # candidate priority = parent − decay
     priority_fn: Callable[[], Column] | None = None  # custom frontier
     # priority: a zero-arg callable returning a Column over the
@@ -1053,6 +1072,19 @@ class CrawlEngine:
 
         round_no = start_round
 
+        # adaptive per-round exchange sizing (see CrawlConfig
+        # .adaptive_partitions): the session's shuffle-partition count
+        # is retuned per round from the measured dequeue size and
+        # restored on normal exit. Mutating the session conf is safe
+        # for correctness at ANY value — every operator in the loop is
+        # parallelism-invariant (the scaling protocol asserts
+        # sha-identical output at local[8] vs local[32], and the p8
+        # experiment matched the same sha) — so a leak on an
+        # exceptional exit can at worst slow a later query, never
+        # change results.
+        orig_sp = spark.conf.get("spark.sql.shuffle.partitions", str(npart))
+        cur_sp = int(orig_sp)
+
         # Round-tail pipelining (small-round regime): a round's
         # background writes (edges/lineage/images) are JOINED — and its
         # manifest written — at the end of the NEXT round's body, so
@@ -1128,6 +1160,25 @@ class CrawlEngine:
             # visited total AND the broadcast-vs-shuffle fetch decision.
             n_dequeued = visited_new.count()
             _t = _mark("dequeue_count")
+            npart_round = npart
+            if cfg.adaptive_partitions:
+                # size the round's exchanges (candidate shuffle, final
+                # frontier repartition → parquet file count and the
+                # next round's scan/stage task counts) by data volume;
+                # n_dequeued is this round's exact row count and the
+                # best available proxy for its candidate volume
+                npart_round = max(
+                    min(npart, 8),
+                    min(
+                        npart,
+                        -(-max(n_dequeued, 1) // cfg.rows_per_partition),
+                    ),
+                )
+                if npart_round != cur_sp:
+                    spark.conf.set(
+                        "spark.sql.shuffle.partitions", str(npart_round)
+                    )
+                    cur_sp = npart_round
             self._visited_total += n_dequeued
             bcast_fetch = (
                 cfg.broadcast_fetch_max is not None
@@ -1469,7 +1520,7 @@ class CrawlEngine:
             # shuffle on their own keys, so a round-start repartition
             # would be a second full-frontier exchange for nothing.
             fr_plan = carry.unionByName(survivors).repartition(
-                npart, "host_hash", "salt"
+                npart_round, "host_hash", "salt"
             )
             # Frontier HANDOFF: the frontier_next parquet write was the
             # last FOREGROUND write on the round's critical path (r4
@@ -1570,6 +1621,8 @@ class CrawlEngine:
         if pending_tail is not None:  # loop exited: settle the last round
             settle_tail(pending_tail)
             pending_tail = None
+        if cur_sp != int(orig_sp):  # undo adaptive retuning (normal exit)
+            spark.conf.set("spark.sql.shuffle.partitions", orig_sp)
 
         # the filter now reflects the full visited table: a later
         # expire() can delete from it in place and run(resume=True)

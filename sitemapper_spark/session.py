@@ -31,18 +31,24 @@ def get_spark(
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(shuffle_partitions))
-        # FAIR job scheduling: the engine overlaps background writes
+        # Job scheduling mode. The engine overlaps background writes
         # (images/edges/frontier) with the next round's foreground jobs
-        # from separate driver threads. Under the default FIFO pool a
-        # big "background" job (per-round image decode+write) occupies
-        # every task slot and the foreground round queues behind it —
-        # measured in the round-4 rounds-mode decomposition, round wall
-        # tracked the image write ~1:1. FAIR + the `background` pool
-        # (engine._BgAction) lets both make progress; on a real cluster
-        # this is the same setting a multi-tenant driver would use.
+        # from separate driver threads; under FIFO a big "background"
+        # job (per-round image decode+write) occupies every task slot
+        # and the foreground round queues behind it (measured in the
+        # round-4 rounds-mode decomposition: round wall tracked the
+        # image write ~1:1). engine._BgAction tags its jobs with the
+        # `background` fair pool so FAIR mode splits slots fairly — but
+        # the same-weather paired A/B (BENCH.md §3.3,
+        # bench_scaling_r4_rounds_{fair2,fifoctrl}.json) measured FAIR
+        # neutral-to-slightly-slower at BOTH levels on this box: the
+        # wide level is CPU/memory-bandwidth-bound, not slot-starved,
+        # so interleaving buys nothing and costs cache locality. FIFO
+        # stays the default; flip SPARK_GRAFT_SCHEDULER_MODE=FAIR on a
+        # cluster whose executors have genuinely idle slots.
         .config(
             "spark.scheduler.mode",
-            os.environ.get("SPARK_GRAFT_SCHEDULER_MODE", "FAIR"),
+            os.environ.get("SPARK_GRAFT_SCHEDULER_MODE", "FIFO"),
         )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -411,3 +411,62 @@ class TestRoundTailPipelining:
         # and the re-run round's manifest is back
         assert os.path.exists(
             os.path.join(ckpt, f"round={last:05d}", "MANIFEST.json"))
+
+
+class TestAdaptivePartitions:
+    """Per-round data-volume exchange sizing (BENCH.md §3.3): tiny
+    fixpoint rounds must not scatter into cores-many ~1k-row tasks.
+    Contract: (1) output is identical with the knob on or off — the
+    parallelism-invariance the scaling protocol asserts across
+    local[8]/local[32] also holds across per-round partition counts;
+    (2) the engine restores the session's shuffle-partition conf on
+    normal exit; (3) small rounds actually produce the clamped file
+    count (the mechanism is live, not silently bypassed)."""
+
+    def _run(self, spark, corpus, ckpt, adaptive):
+        cfg = CrawlConfig(
+            max_depth=4, use_bloom=True, bloom_min_visited=500,
+            checkpoint_dir=ckpt, adaptive_partitions=adaptive,
+        )
+        return CrawlEngine(spark, corpus, cfg).run(
+            [(ROOT, "s0", 4, 0.0)]
+        )
+
+    def test_identical_output_and_conf_restored(self, spark, tmp_path):
+        corpus = cm.testsite_corpus(spark)
+        before = spark.conf.get("spark.sql.shuffle.partitions")
+        on = self._run(spark, corpus, str(tmp_path / "ck_on"), True)
+        off = self._run(spark, corpus, str(tmp_path / "ck_off"), False)
+        key = lambda res: (  # noqa: E731
+            sorted((r["sitemap_id"], r["url"], r["depth"])
+                   for r in res.visited.collect()),
+            sorted((r["sitemap_id"], r["src"], r["dst"])
+                   for r in res.edges.collect()),
+        )
+        assert key(on) == key(off)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+    def test_small_round_file_count_clamped(self, spark, tmp_path):
+        corpus = cm.synth_corpus(
+            spark, n_pages=2000, n_hosts=4, links_per_page=5,
+            with_images=False, num_partitions=16,
+        )
+        seeds = (
+            corpus.limit(64)
+            .select(
+                "url",
+                F.lit("s-all").alias("sitemap_id"),
+                F.lit(2).alias("max_depth"),
+                F.lit(0.0).alias("priority"),
+            )
+        )
+        ckpt = str(tmp_path / "ck_files")
+        cfg = CrawlConfig(
+            max_depth=2, use_bloom=False, num_partitions=16,
+            checkpoint_dir=ckpt,
+        )
+        CrawlEngine(spark, corpus, cfg).run(seeds)
+        fr = os.path.join(ckpt, "round=00000", "frontier_next")
+        n_files = len([f for f in os.listdir(fr) if f.endswith(".parquet")])
+        # 64-row dequeue → clamp floor min(8, npart) = 8, not 16
+        assert n_files <= 8
