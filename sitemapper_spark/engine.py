@@ -1083,7 +1083,10 @@ class CrawlEngine:
         # exceptional exit can at worst slow a later query, never
         # change results.
         orig_sp = spark.conf.get("spark.sql.shuffle.partitions", str(npart))
-        cur_sp = int(orig_sp)
+        try:
+            cur_sp = int(orig_sp)
+        except ValueError:  # e.g. "auto" on AQE-managed external sessions
+            cur_sp = -1  # unknown → first adaptive round always sets
 
         # Round-tail pipelining (small-round regime): a round's
         # background writes (edges/lineage/images) are JOINED — and its
@@ -1621,7 +1624,7 @@ class CrawlEngine:
         if pending_tail is not None:  # loop exited: settle the last round
             settle_tail(pending_tail)
             pending_tail = None
-        if cur_sp != int(orig_sp):  # undo adaptive retuning (normal exit)
+        if str(cur_sp) != orig_sp:  # undo adaptive retuning (normal exit)
             spark.conf.set("spark.sql.shuffle.partitions", orig_sp)
 
         # the filter now reflects the full visited table: a later
