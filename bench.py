@@ -38,10 +38,13 @@ BENCH_QUERIES = [
     # in per-round times, not just correctness)
     "minhash_near_dup",
     "simhash_dup_pairs",
-    "srp_near_dup",
     "srp_near_dup_prod",  # production band config (8x8 bits) — the
-    # scale-shape row; srp_near_dup keeps the degenerate-but-provable
-    # 32x2 oracle config for comparison
+    # scale-shape row. The degenerate-but-provable 32x2 oracle config
+    # (`srp_near_dup`) stays in queries()/oracle_sql() for CORRECTNESS
+    # but is OUT of the timed suite (round-4 verdict nit #2): it
+    # benches a deliberately near-all-pairs candidate plan that exists
+    # only to make the oracle's recall provable — 33 s / 24% of the r4
+    # suite wall measuring a shape no production config would run.
     "ivf_ann_topk",
     "image_near_dup",
 ]
@@ -122,11 +125,20 @@ def run_crawl_bench(spark, corpus_dir: str, tag: str, shape: str) -> dict:
         decode_verify_images=True,  # north_star: fetch/decode per round
     )
     engine = CrawlEngine(spark, corpus, cfg)
+    # bracket every crawl pass with the weather probes (round-4 verdict
+    # #3): suite JSONs become weather-adjudicable after the fact — the
+    # r4 driver-bench window read every untouched sub-second query
+    # 30-100% "slower" than r3 and nothing in the JSON could prove it
+    # was the box, not the code
+    from sitemapper_spark.probes import cpu_probe_ms, membw_probe_ms
+
+    probe0, membw0 = cpu_probe_ms(), membw_probe_ms()
     t0 = time.perf_counter()
     result = engine.run(seeds)
     visited_n = result.visited.count()
     edges_n = result.edges.count()
     elapsed = time.perf_counter() - t0
+    probe1, membw1 = cpu_probe_ms(), membw_probe_ms()
     shutil.rmtree(ckpt, ignore_errors=True)
     return {
         "visited": visited_n,
@@ -134,6 +146,8 @@ def run_crawl_bench(spark, corpus_dir: str, tag: str, shape: str) -> dict:
         "rounds": result.rounds,
         "sec": round(elapsed, 3),
         "urls_per_sec": round(visited_n / elapsed, 1),
+        "cpu_probe_ms": [probe0, probe1],
+        "membw_probe_ms": [membw0, membw1],
     }
 
 
@@ -161,11 +175,26 @@ def main() -> None:
             run_crawl_bench(spark, corpus_dir, tag=f"c{cpus}", shape=shape)
             for _ in range(BENCH_PASSES)
         ]
-        return min(runs, key=lambda r: r["sec"])
+        best = dict(min(runs, key=lambda r: r["sec"]))
+        # every pass's bracketing probes, not just the winner's — a
+        # best-of-N headline is only adjudicable if the rejected
+        # passes' weather is on record too
+        best["pass_probes"] = [
+            {
+                "sec": r["sec"],
+                "cpu_probe_ms": r["cpu_probe_ms"],
+                "membw_probe_ms": r["membw_probe_ms"],
+            }
+            for r in runs
+        ]
+        return best
 
     crawl = crawl_best("mega")
     crawl_deep = crawl_best("deep")
 
+    from sitemapper_spark.probes import probe_pair
+
+    suite_probe0 = probe_pair()
     qtimes: dict[str, float] = {}
     registry = qlib.all_queries()
     for name in BENCH_QUERIES:
@@ -177,6 +206,7 @@ def main() -> None:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         qtimes[name] = round(best, 3)
+    suite_probe1 = probe_pair()
     qtimes["crawl_mega"] = crawl["sec"]
     qtimes["crawl_deep_bfs"] = crawl_deep["sec"]
 
@@ -196,6 +226,11 @@ def main() -> None:
                 "corpus_pages": n_pages,
                 "cpus": cpus,
                 "timing": f"best_of_{BENCH_PASSES}_warm",
+                # weather telemetry: suite-bracketing + per-crawl-pass
+                # probes (healthy floor ~90 ms cpu / ~25 ms membw on
+                # this box; >=1.25x/1.3x floor = polluted window —
+                # same certification rule as tools/bench_scaling.py)
+                "suite_probes": [suite_probe0, suite_probe1],
             }
         )
     )

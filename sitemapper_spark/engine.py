@@ -85,14 +85,27 @@ class _BgAction:
     "background" write almost 1:1. With ``spark.scheduler.mode=FAIR``
     (session.py) and this pool split, foreground rounds and background
     writes share task slots fairly, which converts the wide level's
-    idle slots into genuine pipeline overlap."""
+    idle slots into genuine pipeline overlap.
+
+    Pool tagging REQUIRES PySpark pinned-thread mode (PYSPARK_PIN_THREAD,
+    default on since Spark 3.2): setLocalProperty is per-JVM-thread, and
+    only pinned mode gives each Python thread its own JVM thread. With
+    pinning disabled every Python thread shares one JVM thread, so the
+    tag would leak onto FOREGROUND jobs launched after this one —
+    silently defeating the FAIR split. The guard below skips tagging in
+    that case (jobs then land in the default pool, which is merely the
+    FIFO behavior — safe, just unsplit)."""
 
     def __init__(self, fn, *args, sc=None):
         self.exc: BaseException | None = None
+        pinned = os.environ.get("PYSPARK_PIN_THREAD", "true").lower() not in (
+            "false",
+            "0",
+        )
 
         def runner():
             try:
-                if sc is not None:
+                if sc is not None and pinned:
                     sc.setLocalProperty("spark.scheduler.pool", "background")
                 fn(*args)
             except BaseException as e:  # noqa: BLE001 — re-raised on join
@@ -196,6 +209,16 @@ class CrawlConfig:
     rows_per_partition: int = 8192  # target rows per exchange
     # partition under adaptive_partitions; 37k-row rounds → 8 parts
     # (the measured winner), 4M-row mega rounds → cores-clamped.
+    adaptive_fanout: float = 1.0  # multiplier on n_dequeued when sizing
+    # the round's exchanges: the candidate shuffle processes roughly
+    # n_dequeued × link-fanout rows, so a small dequeue with high
+    # fan-out (5k pages × 100 links = 500k candidate rows) would
+    # otherwise get its candidate exchange squeezed into the 8-part
+    # floor (round-4 ADVICE). Set to the corpus's expected avg
+    # out-degree for high-fanout workloads; 1.0 (no correction) is the
+    # default because every measured shape (8-link synthetic corpora)
+    # clamps to num_partitions long before fan-out matters, and the
+    # certified r4 numbers were taken at this sizing.
     priority_decay: float = 0.0  # candidate priority = parent − decay
     priority_fn: Callable[[], Column] | None = None  # custom frontier
     # priority: a zero-arg callable returning a Column over the
@@ -1116,516 +1139,549 @@ class CrawlEngine:
             if tail["manifest"] is not None:
                 self._manifest(tail["round_no"], tail["manifest"])
 
-        while round_no < cfg.max_rounds:
-            t_round = time.perf_counter()
-            # per-phase wall attribution (verbose only): every FOREGROUND
-            # driver action in the round body gets its own bucket, so a
-            # scaling decomposition can tell fixed per-round floor
-            # (planning, job launch, serial actions — hits N and 4N
-            # equally) apart from data-proportional parallel work.
-            ph: dict[str, float] = {}
-            _t = time.perf_counter()
-
-            def _mark(name: str, t0: float = 0.0) -> float:
-                now = time.perf_counter()
-                ph[name] = ph.get(name, 0.0) + now - (t0 or _t)
-                return now
-
-            if frontier.isEmpty():
-                break
-            _t = _mark("is_empty")
-
-            # 1) politeness dequeue (F3/F10): top-priority per host,
-            #    deterministic carry-over instead of random backoff
-            dequeued, carry = dequeue_per_host(
-                frontier, cfg.per_host_budget, self.robots
-            )
-            # intra-round reuse only — resume needs just the parquet
-            # artifacts (visited/edges/lineage/frontier_next)
-            dequeued = dequeued.persist()
-            carry = carry.persist()
-
-            # 2) mark visited BEFORE fetch (F5, `crawler.go:173`)
-            visited_new = self._write(
-                dequeued.select(
-                    "sitemap_id", "url", "host", "depth",
-                    F.lit(round_no).alias("round"),
-                ),
-                round_no,
-                "visited",
-            )
-            _t = _mark("visited_write")
-            visited_rounds = visited_rounds + [round_no]
-            self._visited_rounds = visited_rounds
-            visited = self._read_rounds("visited", visited_rounds)
-            # dequeued row count — a parquet-footer count on the slice
-            # just written (cheap, no recompute). Drives the running
-            # visited total AND the broadcast-vs-shuffle fetch decision.
-            n_dequeued = visited_new.count()
-            _t = _mark("dequeue_count")
-            npart_round = npart
-            if cfg.adaptive_partitions:
-                # size the round's exchanges (candidate shuffle, final
-                # frontier repartition → parquet file count and the
-                # next round's scan/stage task counts) by data volume;
-                # n_dequeued is this round's exact row count and the
-                # best available proxy for its candidate volume
-                npart_round = max(
-                    min(npart, 8),
-                    min(
-                        npart,
-                        -(-max(n_dequeued, 1) // cfg.rows_per_partition),
-                    ),
-                )
-                if npart_round != cur_sp:
-                    spark.conf.set(
-                        "spark.sql.shuffle.partitions", str(npart_round)
-                    )
-                    cur_sp = npart_round
-            self._visited_total += n_dequeued
-            bcast_fetch = (
-                cfg.broadcast_fetch_max is not None
-                and n_dequeued <= cfg.broadcast_fetch_max
-            )
-            image_thread = None
-            if self.image_side is not None:
-                # decode+verify the image payload of this round's pages
-                # and append image rows (north_star: "fetch/decode, and
-                # append discovered edges plus image rows"). The bytes
-                # column flows scan → mapInPandas → per-round parquet,
-                # never through a shuffle: the corpus is pruned with a
-                # broadcast semi-join on the dequeued URLs first. The
-                # keys slice is urls-only (tens of bytes/row), so it
-                # stays broadcastable far past the point where the
-                # full fetch broadcast (urls + out_links) must fall
-                # back to a shuffle join — hence its own threshold.
-                # Past image_keys_broadcast_max (10^9-row dequeues),
-                # co-locate corpus and frontier by url bucket instead:
-                # a shuffle semi-join here would move `bytes`.
-                from .operators.multimodal import decode_verify
-
-                if not (
-                    cfg.image_keys_broadcast_max is None
-                    or n_dequeued <= cfg.image_keys_broadcast_max
-                ):
-                    # hard bound, not a fallback: a shuffle semi-join
-                    # here would move `bytes` (the invariant this block
-                    # protects) and an unbounded broadcast would fail on
-                    # Spark's broadcast limit / driver memory anyway —
-                    # later, with a worse error. Fail now, with the fix.
-                    raise RuntimeError(
-                        f"dequeued {n_dequeued} rows exceed "
-                        f"image_keys_broadcast_max="
-                        f"{cfg.image_keys_broadcast_max}: the image-decode "
-                        "prune is broadcast-only (a shuffle semi-join would "
-                        "move the `bytes` column). Bucket the corpus by url "
-                        "and co-locate the frontier for dequeues this "
-                        "large, lower per_host_budget, or raise "
-                        "image_keys_broadcast_max (None = unbounded) if "
-                        "the driver can hold the key slice."
-                    )
-                keys = F.broadcast(dequeued.select("url"))
-                img_pages = self.image_side.join(keys, "url", "left_semi")
-                image_rows = decode_verify(img_pages)
-                image_thread = _BgAction(
-                    self._write, image_rows, round_no, "images",
-                    sc=spark.sparkContext,
-                )
-
-            bloom_thread = None
-            if cfg.use_bloom:
-                # incremental: only THIS round's URLs are hashed and
-                # tree-merged; the cumulative filter lives on the driver.
-                # Runs as a concurrent Spark action — overlaps with the
-                # fetch/extract/edges work below; joined before the
-                # candidate split needs the filter.
-                bloom_thread = _BgAction(
-                    self._absorb_into_bloom, visited_new, n_dequeued,
-                    sc=spark.sparkContext,
-                )
-
-            # 3) fetch = corpus join (F6); null right side / status!=200
-            #    = fetch error → no links, URL still visited.
-            #    Fast path: broadcast-semi-join the corpus down to the
-            #    dequeued slice first — the corpus only streams through a
-            #    scan+filter (never shuffles), and the per-round fetch
-            #    join broadcasts the small matched slice. At a 10^10-URL
-            #    frontier where dequeued no longer fits a broadcast,
-            #    disable via broadcast_fetch_max=None and bucket the
-            #    corpus by url instead.
-            if bcast_fetch:
-                keys = F.broadcast(dequeued.select(F.col("url").alias("_corpus_url")))
-                matched = self.fetch_side.join(keys, "_corpus_url", "left_semi")
-                fetched = dequeued.join(
-                    F.broadcast(matched),
-                    dequeued["url"] == matched["_corpus_url"],
-                    "left",
-                )
-            else:
-                fetched = dequeued.join(
-                    self.fetch_side,
-                    dequeued["url"] == self.fetch_side["_corpus_url"],
-                    "left",
-                )
-            if cfg.use_html_extraction:
-                raw_links = F.when(
-                    (F.col("status") == 200) & F.col("html").isNotNull()
-                    & (F.col("html") != ""),
-                    extract_links_udf(F.col("html")),
-                )
-            else:
-                raw_links = F.when(
-                    F.col("status") == 200, F.col("out_links")
-                )
-            fetched = fetched.withColumn("_raw_links", raw_links)
-
-            # 4) canonicalize against the POST-REDIRECT url (F7/F8,
-            #    `crawler.go:176,193`)
-            cleaned = fetched.withColumn(
-                "_links",
-                F.when(
-                    F.col("_raw_links").isNotNull()
-                    & (F.size("_raw_links") > 0),
-                    clean_links_udf(
-                        F.col("_raw_links"), F.col("root"), F.col("final_url")
-                    ),
-                ).otherwise(F.array().cast("array<string>")),
-            ).persist()  # reused by edges + lineage; fetch/UDF run once
-
-            # 5) edges (F9) — duplicates collapse like
-            #    UpdateURLWithLinks' set-union (`sitemap.go:56-66`),
-            #    WITHOUT a shuffle: (sitemap_id, url) is unique in
-            #    `dequeued` (seed dropDuplicates + first-wins candidate
-            #    dedup + carry anti-join — the F4 invariant), so edge
-            #    duplicates can only arise WITHIN one page's link list
-            #    (two raw hrefs canonicalizing to the same URL).
-            #    array_distinct before the explode is therefore exactly
-            #    equivalent to a global dropDuplicates(sitemap_id, src,
-            #    dst) — which previously exchanged the whole exploded
-            #    edge set (~5 GB/round at 4M-row rounds) for what is
-            #    provably row-local work. Measured as part of the
-            #    round-4 scaling fix (BENCH.md).
-            #
-            #    Write strategy is round-size-adaptive, like the fetch
-            #    and absorb paths: SMALL rounds (≤ DIRECT_ABSORB_MAX,
-            #    the fixpoint-floor regime) cache the dedup output and
-            #    run the parquet write as a CONCURRENT action so the
-            #    candidate chain reads the cache instead of waiting for
-            #    write-then-reread — two fewer serial driver actions
-            #    per round. FAT rounds write-then-reread as before:
-            #    caching multi-GB edge sets alongside `cleaned` adds
-            #    executor-memory pressure for a write whose cost is
-            #    data-proportional anyway (BENCH.md §2.3/§3).
-            overlap_writes = n_dequeued <= self.DIRECT_ABSORB_MAX
-            edges_plan = cleaned.select(
-                "sitemap_id",
-                F.col("url").alias("src"),
-                F.explode(F.array_distinct("_links")).alias("dst"),
-                "depth",
-                F.lit(round_no).alias("round"),
-            )
-
-            # 6) lineage/metrics (F12 / crawl_jobs status rows) —
-            #    written DISTRIBUTEDLY (never collected: at web scale
-            #    there are 10^6-10^8 hosts per round; only the filtered
-            #    hot-host sliver below ever reaches the driver).
-            lineage_plan = (
-                cleaned.groupBy("sitemap_id", "host").agg(
-                    F.count("*").alias("urls_dequeued"),
-                    F.count(F.when(F.col("status") == 200, 1)).alias("fetched"),
-                    F.count(
-                        F.when(
-                            F.col("status").isNull() | (F.col("status") != 200), 1
-                        )
-                    ).alias("errors"),
-                    F.sum(F.size("_links")).cast("long").alias("links_found"),
-                ).select(
-                    F.lit(round_no).alias("round"),
-                    "sitemap_id", "host",
-                    F.col("urls_dequeued").cast("long").alias("urls_dequeued"),
-                    F.col("fetched").cast("long").alias("fetched"),
-                    F.col("errors").cast("long").alias("errors"),
-                    F.coalesce("links_found", F.lit(0)).cast("long").alias(
-                        "links_found"
-                    ),
-                    F.lit("COMPLETE").alias("status"),
-                )
-            )
-            edges_thread = lineage_thread = None
-            if overlap_writes:
-                edges_new = edges_plan.persist()
-                edges_thread = _BgAction(
-                    lambda df=edges_new: df.write.mode("overwrite").parquet(
-                        self._ckpt(f"round={round_no:05d}", "edges")
-                    ),
-                    sc=spark.sparkContext,
-                )
-                lineage_thread = _BgAction(
-                    lambda df=lineage_plan: df.write.mode("overwrite").parquet(
-                        self._ckpt(f"round={round_no:05d}", "lineage")
-                    ),
-                    sc=spark.sparkContext,
-                )
-            else:
+        try:
+            while round_no < cfg.max_rounds:
+                t_round = time.perf_counter()
+                # per-phase wall attribution (verbose only): every FOREGROUND
+                # driver action in the round body gets its own bucket, so a
+                # scaling decomposition can tell fixed per-round floor
+                # (planning, job launch, serial actions — hits N and 4N
+                # equally) apart from data-proportional parallel work.
+                ph: dict[str, float] = {}
                 _t = time.perf_counter()
-                edges_new = self._write(edges_plan, round_no, "edges")
-                lineage_new = self._write(lineage_plan, round_no, "lineage")
-                _t = _mark("edges_lineage_write")
 
-            # 7) candidates at depth+1, gated by per-sitemap max_depth
-            #    (F2) and robots rules
-            candidates = (
-                edges_new.select(
+                def _mark(name: str, t0: float = 0.0) -> float:
+                    now = time.perf_counter()
+                    ph[name] = ph.get(name, 0.0) + now - (t0 or _t)
+                    return now
+
+                if frontier.isEmpty():
+                    break
+                _t = _mark("is_empty")
+
+                # 1) politeness dequeue (F3/F10): top-priority per host,
+                #    deterministic carry-over instead of random backoff
+                dequeued, carry = dequeue_per_host(
+                    frontier, cfg.per_host_budget, self.robots
+                )
+                # intra-round reuse only — resume needs just the parquet
+                # artifacts (visited/edges/lineage/frontier_next)
+                dequeued = dequeued.persist()
+                carry = carry.persist()
+
+                # 2) mark visited BEFORE fetch (F5, `crawler.go:173`)
+                visited_new = self._write(
+                    dequeued.select(
+                        "sitemap_id", "url", "host", "depth",
+                        F.lit(round_no).alias("round"),
+                    ),
+                    round_no,
+                    "visited",
+                )
+                _t = _mark("visited_write")
+                visited_rounds = visited_rounds + [round_no]
+                self._visited_rounds = visited_rounds
+                visited = self._read_rounds("visited", visited_rounds)
+                # dequeued row count — a parquet-footer count on the slice
+                # just written (cheap, no recompute). Drives the running
+                # visited total AND the broadcast-vs-shuffle fetch decision.
+                n_dequeued = visited_new.count()
+                _t = _mark("dequeue_count")
+                npart_round = npart
+                if cfg.adaptive_partitions:
+                    # size the round's exchanges (candidate shuffle, final
+                    # frontier repartition → parquet file count and the
+                    # next round's scan/stage task counts) by data volume;
+                    # n_dequeued × adaptive_fanout approximates the
+                    # candidate volume (the round's biggest exchange) —
+                    # see the CrawlConfig.adaptive_fanout note for the
+                    # high-fanout failure shape this corrects
+                    est_rows = max(n_dequeued, 1) * max(cfg.adaptive_fanout, 1.0)
+                    npart_round = max(
+                        min(npart, 8),
+                        min(
+                            npart,
+                            int(-(-est_rows // cfg.rows_per_partition)),
+                        ),
+                    )
+                    if npart_round != cur_sp:
+                        spark.conf.set(
+                            "spark.sql.shuffle.partitions", str(npart_round)
+                        )
+                        cur_sp = npart_round
+                self._visited_total += n_dequeued
+                bcast_fetch = (
+                    cfg.broadcast_fetch_max is not None
+                    and n_dequeued <= cfg.broadcast_fetch_max
+                )
+                image_thread = None
+                if self.image_side is not None:
+                    # decode+verify the image payload of this round's pages
+                    # and append image rows (north_star: "fetch/decode, and
+                    # append discovered edges plus image rows"). The bytes
+                    # column flows scan → mapInPandas → per-round parquet,
+                    # never through a shuffle: the corpus is pruned with a
+                    # broadcast semi-join on the dequeued URLs first. The
+                    # keys slice is urls-only (tens of bytes/row), so it
+                    # stays broadcastable far past the point where the
+                    # full fetch broadcast (urls + out_links) must fall
+                    # back to a shuffle join — hence its own threshold.
+                    # Past image_keys_broadcast_max (10^9-row dequeues),
+                    # co-locate corpus and frontier by url bucket instead:
+                    # a shuffle semi-join here would move `bytes`.
+                    from .operators.multimodal import decode_verify
+
+                    if not (
+                        cfg.image_keys_broadcast_max is None
+                        or n_dequeued <= cfg.image_keys_broadcast_max
+                    ):
+                        # hard bound, not a fallback: a shuffle semi-join
+                        # here would move `bytes` (the invariant this block
+                        # protects) and an unbounded broadcast would fail on
+                        # Spark's broadcast limit / driver memory anyway —
+                        # later, with a worse error. Fail now, with the fix.
+                        raise RuntimeError(
+                            f"dequeued {n_dequeued} rows exceed "
+                            f"image_keys_broadcast_max="
+                            f"{cfg.image_keys_broadcast_max}: the image-decode "
+                            "prune is broadcast-only (a shuffle semi-join would "
+                            "move the `bytes` column). Bucket the corpus by url "
+                            "and co-locate the frontier for dequeues this "
+                            "large, lower per_host_budget, or raise "
+                            "image_keys_broadcast_max (None = unbounded) if "
+                            "the driver can hold the key slice."
+                        )
+                    keys = F.broadcast(dequeued.select("url"))
+                    img_pages = self.image_side.join(keys, "url", "left_semi")
+                    image_rows = decode_verify(img_pages)
+                    image_thread = _BgAction(
+                        self._write, image_rows, round_no, "images",
+                        sc=spark.sparkContext,
+                    )
+
+                bloom_thread = None
+                if cfg.use_bloom:
+                    # incremental: only THIS round's URLs are hashed and
+                    # tree-merged; the cumulative filter lives on the driver.
+                    # Runs as a concurrent Spark action — overlaps with the
+                    # fetch/extract/edges work below; joined before the
+                    # candidate split needs the filter.
+                    bloom_thread = _BgAction(
+                        self._absorb_into_bloom, visited_new, n_dequeued,
+                        sc=spark.sparkContext,
+                    )
+
+                # 3) fetch = corpus join (F6); null right side / status!=200
+                #    = fetch error → no links, URL still visited.
+                #    Fast path: broadcast-semi-join the corpus down to the
+                #    dequeued slice first — the corpus only streams through a
+                #    scan+filter (never shuffles), and the per-round fetch
+                #    join broadcasts the small matched slice. At a 10^10-URL
+                #    frontier where dequeued no longer fits a broadcast,
+                #    disable via broadcast_fetch_max=None and bucket the
+                #    corpus by url instead.
+                if bcast_fetch:
+                    keys = F.broadcast(dequeued.select(F.col("url").alias("_corpus_url")))
+                    matched = self.fetch_side.join(keys, "_corpus_url", "left_semi")
+                    fetched = dequeued.join(
+                        F.broadcast(matched),
+                        dequeued["url"] == matched["_corpus_url"],
+                        "left",
+                    )
+                else:
+                    fetched = dequeued.join(
+                        self.fetch_side,
+                        dequeued["url"] == self.fetch_side["_corpus_url"],
+                        "left",
+                    )
+                if cfg.use_html_extraction:
+                    raw_links = F.when(
+                        (F.col("status") == 200) & F.col("html").isNotNull()
+                        & (F.col("html") != ""),
+                        extract_links_udf(F.col("html")),
+                    )
+                else:
+                    raw_links = F.when(
+                        F.col("status") == 200, F.col("out_links")
+                    )
+                fetched = fetched.withColumn("_raw_links", raw_links)
+
+                # 4) canonicalize against the POST-REDIRECT url (F7/F8,
+                #    `crawler.go:176,193`)
+                cleaned = fetched.withColumn(
+                    "_links",
+                    F.when(
+                        F.col("_raw_links").isNotNull()
+                        & (F.size("_raw_links") > 0),
+                        clean_links_udf(
+                            F.col("_raw_links"), F.col("root"), F.col("final_url")
+                        ),
+                    ).otherwise(F.array().cast("array<string>")),
+                ).persist()  # reused by edges + lineage; fetch/UDF run once
+
+                # 5) edges (F9) — duplicates collapse like
+                #    UpdateURLWithLinks' set-union (`sitemap.go:56-66`),
+                #    WITHOUT a shuffle: (sitemap_id, url) is unique in
+                #    `dequeued` (seed dropDuplicates + first-wins candidate
+                #    dedup + carry anti-join — the F4 invariant), so edge
+                #    duplicates can only arise WITHIN one page's link list
+                #    (two raw hrefs canonicalizing to the same URL).
+                #    array_distinct before the explode is therefore exactly
+                #    equivalent to a global dropDuplicates(sitemap_id, src,
+                #    dst) — which previously exchanged the whole exploded
+                #    edge set (~5 GB/round at 4M-row rounds) for what is
+                #    provably row-local work. Measured as part of the
+                #    round-4 scaling fix (BENCH.md).
+                #
+                #    Write strategy is round-size-adaptive, like the fetch
+                #    and absorb paths: SMALL rounds (≤ DIRECT_ABSORB_MAX,
+                #    the fixpoint-floor regime) cache the dedup output and
+                #    run the parquet write as a CONCURRENT action so the
+                #    candidate chain reads the cache instead of waiting for
+                #    write-then-reread — two fewer serial driver actions
+                #    per round. FAT rounds write-then-reread as before:
+                #    caching multi-GB edge sets alongside `cleaned` adds
+                #    executor-memory pressure for a write whose cost is
+                #    data-proportional anyway (BENCH.md §2.3/§3).
+                overlap_writes = n_dequeued <= self.DIRECT_ABSORB_MAX
+                edges_plan = cleaned.select(
                     "sitemap_id",
-                    F.col("dst").alias("url"),
-                    (F.col("depth") + 1).alias("depth"),
-                    F.col("src").alias("parent"),
+                    F.col("url").alias("src"),
+                    F.explode(F.array_distinct("_links")).alias("dst"),
+                    "depth",
+                    F.lit(round_no).alias("round"),
                 )
-                .join(max_depth_map, "sitemap_id")
-                .filter(F.col("depth") < F.col("max_depth"))
-                .drop("max_depth")
-            )
-            # 8) first-wins dedup inside the round (F4 determinized):
-            #    lexicographic min over stable keys — an aggregation
-            #    (partial+final, map-side combine) instead of a window
-            #    sort; parallelism-invariant. Shuffles only
-            #    (sitemap_id, url, depth, parent): host/root are
-            #    re-derived AFTER the shuffle (functionally determined),
-            #    keeping the round's big exchange as narrow as possible.
-            candidates = (
-                candidates.groupBy("sitemap_id", "url")
-                .agg(F.min(F.struct("depth", "parent")).alias("_m"))
-                .select(
-                    "sitemap_id", "url",
-                    F.col("_m.depth").alias("depth"),
-                    F.col("_m.parent").alias("parent"),
-                )
-            )
-            candidates = candidates.join(roots_map, "sitemap_id")
-            candidates = candidates.withColumn("host", _host_col(F.col("url")))
-            candidates = apply_robots_gate(candidates, self.robots)
 
-            # 9) seen-set dedup (F4): advisory Bloom pre-filter, exact
-            #    anti-join confirm vs visited ∪ carried frontier
-            candidates = candidates.withColumn(
-                "_h", url_hash_col(F.col("sitemap_id"), F.col("url"))
-            )
-            _t = time.perf_counter()
-            if bloom_thread is not None:
-                bloom_thread.join()
-            _t = _mark("bloom_join_wait")
-            round_bcs: list = []  # filter broadcasts to destroy at round end
-            split = None
-            if cfg.use_bloom and self._visited_total >= cfg.bloom_min_visited:
-                if cfg.bloom_shards > 1 and self._bloom_shards is not None:
-                    if cfg.seen_filter == "cuckoo":
-                        from .operators.cuckoo import split_by_cuckoo_shards
-
-                        split = split_by_cuckoo_shards(
-                            candidates, "_h", self._bloom_shards,
-                            cfg.bloom_shards, self._shard_cuckoo_buckets,
-                        )
-                    else:
-                        split = split_by_bloom_shards(
-                            candidates, "_h", self._bloom_shards,
-                            cfg.bloom_shards, self._shard_m_bits, self._shard_k,
-                        )
-                elif cfg.seen_filter == "cuckoo":
-                    from .operators.cuckoo import split_by_cuckoo
-
-                    if self._cuckoo is not None:  # may be degraded-off
-                        split = split_by_cuckoo(
-                            candidates, "_h", self._cuckoo, bc_out=round_bcs
-                        )
-                elif cfg.bloom_shards == 1:
-                    split = split_by_bloom(
-                        candidates, "_h", self._bloom, bc_out=round_bcs
+                # 6) lineage/metrics (F12 / crawl_jobs status rows) —
+                #    written DISTRIBUTEDLY (never collected: at web scale
+                #    there are 10^6-10^8 hosts per round; only the filtered
+                #    hot-host sliver below ever reaches the driver).
+                lineage_plan = (
+                    cleaned.groupBy("sitemap_id", "host").agg(
+                        F.count("*").alias("urls_dequeued"),
+                        F.count(F.when(F.col("status") == 200, 1)).alias("fetched"),
+                        F.count(
+                            F.when(
+                                F.col("status").isNull() | (F.col("status") != 200), 1
+                            )
+                        ).alias("errors"),
+                        F.sum(F.size("_links")).cast("long").alias("links_found"),
+                    ).select(
+                        F.lit(round_no).alias("round"),
+                        "sitemap_id", "host",
+                        F.col("urls_dequeued").cast("long").alias("urls_dequeued"),
+                        F.col("fetched").cast("long").alias("fetched"),
+                        F.col("errors").cast("long").alias("errors"),
+                        F.coalesce("links_found", F.lit(0)).cast("long").alias(
+                            "links_found"
+                        ),
+                        F.lit("COMPLETE").alias("status"),
                     )
-            if split is not None:
-                fresh, maybe_seen = split
-                confirmed = maybe_seen.join(
-                    visited.select("sitemap_id", "url"),
+                )
+                edges_thread = lineage_thread = None
+                if overlap_writes:
+                    # These threads may still be PLANNING when the next
+                    # round's adaptive retune mutates the session's
+                    # shuffle-partition conf (the tail is settled a full
+                    # round later under pipeline_rounds), which would
+                    # make their exchange widths nondeterministic
+                    # (round-4 ADVICE). edges_plan has NO exchange
+                    # (select/array_distinct/explode over the cached
+                    # `cleaned` — row-local by construction), so the
+                    # conf can't touch it. lineage_plan's groupBy IS an
+                    # exchange: the lambda captures npart_round and
+                    # coalesces the post-agg stage to it, pinning the
+                    # write width (and file count, which the bench
+                    # decomposition reads) to THIS round's size
+                    # regardless of when the thread gets to plan.
+                    # coalesce stops at the shuffle boundary, so the
+                    # agg itself keeps its full width.
+                    # rn pinned as a default arg: the lambdas run on the
+                    # background thread, and round_no is a loop variable
+                    # the main thread increments — a by-reference capture
+                    # could resolve to the NEXT round's number if the
+                    # thread is slow to start (latent, never observed).
+                    edges_new = edges_plan.persist()
+                    edges_thread = _BgAction(
+                        lambda df=edges_new, rn=round_no: df.write.mode(
+                            "overwrite"
+                        ).parquet(self._ckpt(f"round={rn:05d}", "edges")),
+                        sc=spark.sparkContext,
+                    )
+                    lineage_thread = _BgAction(
+                        lambda df=lineage_plan, np=npart_round, rn=round_no: (
+                            df.coalesce(np)
+                            .write.mode("overwrite")
+                            .parquet(self._ckpt(f"round={rn:05d}", "lineage"))
+                        ),
+                        sc=spark.sparkContext,
+                    )
+                else:
+                    _t = time.perf_counter()
+                    edges_new = self._write(edges_plan, round_no, "edges")
+                    lineage_new = self._write(lineage_plan, round_no, "lineage")
+                    _t = _mark("edges_lineage_write")
+
+                # 7) candidates at depth+1, gated by per-sitemap max_depth
+                #    (F2) and robots rules
+                candidates = (
+                    edges_new.select(
+                        "sitemap_id",
+                        F.col("dst").alias("url"),
+                        (F.col("depth") + 1).alias("depth"),
+                        F.col("src").alias("parent"),
+                    )
+                    .join(max_depth_map, "sitemap_id")
+                    .filter(F.col("depth") < F.col("max_depth"))
+                    .drop("max_depth")
+                )
+                # 8) first-wins dedup inside the round (F4 determinized):
+                #    lexicographic min over stable keys — an aggregation
+                #    (partial+final, map-side combine) instead of a window
+                #    sort; parallelism-invariant. Shuffles only
+                #    (sitemap_id, url, depth, parent): host/root are
+                #    re-derived AFTER the shuffle (functionally determined),
+                #    keeping the round's big exchange as narrow as possible.
+                candidates = (
+                    candidates.groupBy("sitemap_id", "url")
+                    .agg(F.min(F.struct("depth", "parent")).alias("_m"))
+                    .select(
+                        "sitemap_id", "url",
+                        F.col("_m.depth").alias("depth"),
+                        F.col("_m.parent").alias("parent"),
+                    )
+                )
+                candidates = candidates.join(roots_map, "sitemap_id")
+                candidates = candidates.withColumn("host", _host_col(F.col("url")))
+                candidates = apply_robots_gate(candidates, self.robots)
+
+                # 9) seen-set dedup (F4): advisory Bloom pre-filter, exact
+                #    anti-join confirm vs visited ∪ carried frontier
+                candidates = candidates.withColumn(
+                    "_h", url_hash_col(F.col("sitemap_id"), F.col("url"))
+                )
+                _t = time.perf_counter()
+                if bloom_thread is not None:
+                    bloom_thread.join()
+                _t = _mark("bloom_join_wait")
+                round_bcs: list = []  # filter broadcasts to destroy at round end
+                split = None
+                if cfg.use_bloom and self._visited_total >= cfg.bloom_min_visited:
+                    if cfg.bloom_shards > 1 and self._bloom_shards is not None:
+                        if cfg.seen_filter == "cuckoo":
+                            from .operators.cuckoo import split_by_cuckoo_shards
+
+                            split = split_by_cuckoo_shards(
+                                candidates, "_h", self._bloom_shards,
+                                cfg.bloom_shards, self._shard_cuckoo_buckets,
+                            )
+                        else:
+                            split = split_by_bloom_shards(
+                                candidates, "_h", self._bloom_shards,
+                                cfg.bloom_shards, self._shard_m_bits, self._shard_k,
+                            )
+                    elif cfg.seen_filter == "cuckoo":
+                        from .operators.cuckoo import split_by_cuckoo
+
+                        if self._cuckoo is not None:  # may be degraded-off
+                            split = split_by_cuckoo(
+                                candidates, "_h", self._cuckoo, bc_out=round_bcs
+                            )
+                    elif cfg.bloom_shards == 1:
+                        split = split_by_bloom(
+                            candidates, "_h", self._bloom, bc_out=round_bcs
+                        )
+                if split is not None:
+                    fresh, maybe_seen = split
+                    confirmed = maybe_seen.join(
+                        visited.select("sitemap_id", "url"),
+                        ["sitemap_id", "url"],
+                        "left_anti",
+                    )
+                    survivors = fresh.unionByName(confirmed)
+                else:
+                    survivors = candidates.join(
+                        visited.select("sitemap_id", "url"),
+                        ["sitemap_id", "url"],
+                        "left_anti",
+                    )
+                survivors_base = survivors.join(
+                    carry.select("sitemap_id", "url"),
                     ["sitemap_id", "url"],
                     "left_anti",
-                )
-                survivors = fresh.unionByName(confirmed)
-            else:
-                survivors = candidates.join(
-                    visited.select("sitemap_id", "url"),
-                    ["sitemap_id", "url"],
-                    "left_anti",
-                )
-            survivors_base = survivors.join(
-                carry.select("sitemap_id", "url"),
-                ["sitemap_id", "url"],
-                "left_anti",
-            ).drop("_h").persist()  # reused: hot-host scan + frontier write
+                ).drop("_h").persist()  # reused: hot-host scan + frontier write
 
-            # 10) next frontier = carry-over ∪ survivors, salted where
-            # hot. Heat is an aggregate-then-FILTER on the cached
-            # `cleaned` slice — only hosts over the threshold are
-            # collected, so the driver sees O(hot hosts), never
-            # O(hosts); a host that just expanded many pages is about
-            # to produce many candidates.
-            hot_hosts: list[str] = []
-            _t = time.perf_counter()
-            if cfg.hot_host_threshold is not None:
-                heat_src = (
-                    cleaned.groupBy("host").agg(
-                        F.sum(F.size("_links")).alias("_lf")
+                # 10) next frontier = carry-over ∪ survivors, salted where
+                # hot. Heat is an aggregate-then-FILTER on the cached
+                # `cleaned` slice — only hosts over the threshold are
+                # collected, so the driver sees O(hot hosts), never
+                # O(hosts); a host that just expanded many pages is about
+                # to produce many candidates.
+                hot_hosts: list[str] = []
+                _t = time.perf_counter()
+                if cfg.hot_host_threshold is not None:
+                    heat_src = (
+                        cleaned.groupBy("host").agg(
+                            F.sum(F.size("_links")).alias("_lf")
+                        )
+                        if overlap_writes
+                        # fat rounds: the (tiny, already-written) lineage
+                        # parquet is cheaper to re-aggregate than the
+                        # multi-GB cached slice
+                        else lineage_new.groupBy("host").agg(
+                            F.sum("links_found").alias("_lf")
+                        )
                     )
-                    if overlap_writes
-                    # fat rounds: the (tiny, already-written) lineage
-                    # parquet is cheaper to re-aggregate than the
-                    # multi-GB cached slice
-                    else lineage_new.groupBy("host").agg(
-                        F.sum("links_found").alias("_lf")
-                    )
+                    hot_hosts = [
+                        r["host"]
+                        for r in heat_src.filter(
+                            F.col("_lf") > cfg.hot_host_threshold
+                        )
+                        .select("host")
+                        .collect()
+                    ]
+                _t = _mark("heat_collect")
+                salt = (
+                    F.when(
+                        F.col("host").isin(hot_hosts),
+                        F.pmod(F.xxhash64(F.col("url")), F.lit(cfg.salt_buckets)),
+                    ).otherwise(F.lit(0))
+                    if hot_hosts
+                    else F.lit(0)
                 )
-                hot_hosts = [
-                    r["host"]
-                    for r in heat_src.filter(
-                        F.col("_lf") > cfg.hot_host_threshold
-                    )
-                    .select("host")
-                    .collect()
-                ]
-            _t = _mark("heat_collect")
-            salt = (
-                F.when(
-                    F.col("host").isin(hot_hosts),
-                    F.pmod(F.xxhash64(F.col("url")), F.lit(cfg.salt_buckets)),
-                ).otherwise(F.lit(0))
-                if hot_hosts
-                else F.lit(0)
-            )
-            priority = (
-                cfg.priority_fn()
-                if cfg.priority_fn is not None
-                else F.lit(0.0) - F.lit(cfg.priority_decay) * F.col("depth")
-            )
-            survivors = survivors_base.select(
-                "sitemap_id",
-                "root",
-                "url",
-                "host",
-                F.xxhash64(F.col("host")).alias("host_hash"),
-                salt.cast("int").alias("salt"),
-                "depth",
-                priority.cast("double").alias("priority"),
-                "parent",
-                F.lit(round_no + 1).alias("round"),
-            )
-            # The frontier table's STORAGE partitioning is by
-            # (host_hash, salt) per the north_rule — hot hosts spread
-            # across salt buckets at rest. This is also the loop's ONLY
-            # frontier repartition: the politeness windows and joins
-            # shuffle on their own keys, so a round-start repartition
-            # would be a second full-frontier exchange for nothing.
-            fr_plan = carry.unionByName(survivors).repartition(
-                npart_round, "host_hash", "salt"
-            )
-            # Frontier HANDOFF: the frontier_next parquet write was the
-            # last FOREGROUND write on the round's critical path (r4
-            # decomp: 13-23 s/round at mega sizes). Materialize the
-            # (repartitioned) frontier into the block-manager cache
-            # instead — same exchange, no parquet encode on the
-            # critical path — hand the cached DataFrame to the next
-            # round's dequeue, and write the parquet in the BACKGROUND.
-            # Durability semantics are unchanged: the write is joined,
-            # and only then the manifest written, in the deferred tail
-            # below — "manifest present = round complete" holds
-            # exactly. localCheckpoint (NOT persist) is load-bearing:
-            # the frontier plan contains the previous frontier TWICE
-            # (under carry AND under survivors→dequeued), so chaining
-            # cached plans grows lineage 2^rounds — localCheckpoint
-            # truncates the logical plan to an in-memory scan, O(1)
-            # lineage per round. Block durability is the parquet write;
-            # a lost localCheckpoint block fails the round and resume
-            # re-runs it from the manifest, same as any crash.
-            frontier_thread = None
-            fr_cached = None
-            _t = time.perf_counter()
-            if cfg.frontier_handoff:
-                fr_cached = fr_plan.localCheckpoint(eager=True)
-                frontier_thread = _BgAction(
-                    self._write, fr_cached, round_no, "frontier_next",
-                    sc=spark.sparkContext,
+                priority = (
+                    cfg.priority_fn()
+                    if cfg.priority_fn is not None
+                    else F.lit(0.0) - F.lit(cfg.priority_decay) * F.col("depth")
                 )
-                frontier = fr_cached
-            else:
-                frontier = self._write(fr_plan, round_no, "frontier_next")
-            _t = _mark("frontier_materialize")
-            heavy_tail = {
-                "threads": [
-                    th
-                    for th in (edges_thread, lineage_thread, image_thread)
-                    if th is not None
-                ],
-                "unpersist": [dequeued, carry, cleaned, survivors_base]
-                + ([edges_new] if overlap_writes else []),
-                "bcs": round_bcs,
-                "round_no": round_no,
-                "manifest": None,  # manifest travels with the light tail
-            }
-            light_tail = {
-                "threads": [frontier_thread] if frontier_thread else [],
-                "unpersist": [fr_cached] if fr_cached is not None else [],
-                "bcs": [],
-                "round_no": round_no,
-                "manifest": {
-                    "round": round_no,
-                    "visited_rounds": visited_rounds,
-                    "sitemap_ids": sitemap_ids,
-                },
-            }
-            _t = time.perf_counter()
-            if pending_tail is not None:
-                # the PREVIOUS round settles only now — its write tail
-                # rode under this whole round's compute
-                settle_tail(pending_tail)
-                pending_tail = None
-            _t = _mark("settle_prev_tail")
-            if overlap_writes and cfg.pipeline_rounds:
-                # small rounds: defer everything to the next round end
-                pending_tail = {
-                    "threads": heavy_tail["threads"] + light_tail["threads"],
-                    "unpersist": heavy_tail["unpersist"]
-                    + light_tail["unpersist"],
+                survivors = survivors_base.select(
+                    "sitemap_id",
+                    "root",
+                    "url",
+                    "host",
+                    F.xxhash64(F.col("host")).alias("host_hash"),
+                    salt.cast("int").alias("salt"),
+                    "depth",
+                    priority.cast("double").alias("priority"),
+                    "parent",
+                    F.lit(round_no + 1).alias("round"),
+                )
+                # The frontier table's STORAGE partitioning is by
+                # (host_hash, salt) per the north_rule — hot hosts spread
+                # across salt buckets at rest. This is also the loop's ONLY
+                # frontier repartition: the politeness windows and joins
+                # shuffle on their own keys, so a round-start repartition
+                # would be a second full-frontier exchange for nothing.
+                fr_plan = carry.unionByName(survivors).repartition(
+                    npart_round, "host_hash", "salt"
+                )
+                # Frontier HANDOFF: the frontier_next parquet write was the
+                # last FOREGROUND write on the round's critical path (r4
+                # decomp: 13-23 s/round at mega sizes). Materialize the
+                # (repartitioned) frontier into the block-manager cache
+                # instead — same exchange, no parquet encode on the
+                # critical path — hand the cached DataFrame to the next
+                # round's dequeue, and write the parquet in the BACKGROUND.
+                # Durability semantics are unchanged: the write is joined,
+                # and only then the manifest written, in the deferred tail
+                # below — "manifest present = round complete" holds
+                # exactly. localCheckpoint (NOT persist) is load-bearing:
+                # the frontier plan contains the previous frontier TWICE
+                # (under carry AND under survivors→dequeued), so chaining
+                # cached plans grows lineage 2^rounds — localCheckpoint
+                # truncates the logical plan to an in-memory scan, O(1)
+                # lineage per round. Block durability is the parquet write;
+                # a lost localCheckpoint block fails the round and resume
+                # re-runs it from the manifest, same as any crash.
+                frontier_thread = None
+                fr_cached = None
+                _t = time.perf_counter()
+                if cfg.frontier_handoff:
+                    fr_cached = fr_plan.localCheckpoint(eager=True)
+                    frontier_thread = _BgAction(
+                        self._write, fr_cached, round_no, "frontier_next",
+                        sc=spark.sparkContext,
+                    )
+                    frontier = fr_cached
+                else:
+                    frontier = self._write(fr_plan, round_no, "frontier_next")
+                _t = _mark("frontier_materialize")
+                heavy_tail = {
+                    "threads": [
+                        th
+                        for th in (edges_thread, lineage_thread, image_thread)
+                        if th is not None
+                    ],
+                    "unpersist": [dequeued, carry, cleaned, survivors_base]
+                    + ([edges_new] if overlap_writes else []),
                     "bcs": round_bcs,
                     "round_no": round_no,
-                    "manifest": light_tail["manifest"],
+                    "manifest": None,  # manifest travels with the light tail
                 }
-            else:
-                # fat rounds: big writes + caches settle inline (two
-                # rounds of multi-GB caches won't fit), but the
-                # frontier write + manifest still ride under the next
-                # round's compute
+                light_tail = {
+                    "threads": [frontier_thread] if frontier_thread else [],
+                    "unpersist": [fr_cached] if fr_cached is not None else [],
+                    "bcs": [],
+                    "round_no": round_no,
+                    "manifest": {
+                        "round": round_no,
+                        "visited_rounds": visited_rounds,
+                        "sitemap_ids": sitemap_ids,
+                    },
+                }
                 _t = time.perf_counter()
-                settle_tail(heavy_tail)
-                _t = _mark("settle_heavy_tail")
-                pending_tail = light_tail
-            if cfg.verbose:
-                total = time.perf_counter() - t_round
-                # `plan_build` = wall not inside any driver action:
-                # Catalyst analysis, py4j round trips, python plan
-                # construction — the pure fixed floor
-                ph["plan_build"] = total - sum(ph.values())
-                phases = " ".join(
-                    f"{k}={v:.2f}" for k, v in ph.items() if v >= 0.005
-                )
-                print(
-                    f"[crawl] round {round_no}: visited_total="
-                    f"{self._visited_total} "
-                    f"{total:.2f}s | {phases}",
-                    flush=True,
-                )
-            round_no += 1
-        if pending_tail is not None:  # loop exited: settle the last round
-            settle_tail(pending_tail)
-            pending_tail = None
-        if str(cur_sp) != orig_sp:  # undo adaptive retuning (normal exit)
-            spark.conf.set("spark.sql.shuffle.partitions", orig_sp)
+                if pending_tail is not None:
+                    # the PREVIOUS round settles only now — its write tail
+                    # rode under this whole round's compute
+                    settle_tail(pending_tail)
+                    pending_tail = None
+                _t = _mark("settle_prev_tail")
+                if overlap_writes and cfg.pipeline_rounds:
+                    # small rounds: defer everything to the next round end
+                    pending_tail = {
+                        "threads": heavy_tail["threads"] + light_tail["threads"],
+                        "unpersist": heavy_tail["unpersist"]
+                        + light_tail["unpersist"],
+                        "bcs": round_bcs,
+                        "round_no": round_no,
+                        "manifest": light_tail["manifest"],
+                    }
+                else:
+                    # fat rounds: big writes + caches settle inline (two
+                    # rounds of multi-GB caches won't fit), but the
+                    # frontier write + manifest still ride under the next
+                    # round's compute
+                    _t = time.perf_counter()
+                    settle_tail(heavy_tail)
+                    _t = _mark("settle_heavy_tail")
+                    pending_tail = light_tail
+                if cfg.verbose:
+                    total = time.perf_counter() - t_round
+                    # `plan_build` = wall not inside any driver action:
+                    # Catalyst analysis, py4j round trips, python plan
+                    # construction — the pure fixed floor
+                    ph["plan_build"] = total - sum(ph.values())
+                    phases = " ".join(
+                        f"{k}={v:.2f}" for k, v in ph.items() if v >= 0.005
+                    )
+                    print(
+                        f"[crawl] round {round_no}: visited_total="
+                        f"{self._visited_total} "
+                        f"{total:.2f}s | {phases}",
+                        flush=True,
+                    )
+                round_no += 1
+            if pending_tail is not None:  # loop exited: settle the last round
+                settle_tail(pending_tail)
+                pending_tail = None
+        finally:
+            # undo adaptive retuning on EVERY exit, including
+            # exceptional ones (a mid-run RuntimeError — e.g. the
+            # image_keys_broadcast_max bound — or a failed Spark job
+            # must not leave a shared/external session clamped as
+            # low as 8 shuffle partitions; round-4 ADVICE)
+            if str(cur_sp) != orig_sp:
+                spark.conf.set("spark.sql.shuffle.partitions", orig_sp)
 
         # the filter now reflects the full visited table: a later
         # expire() can delete from it in place and run(resume=True)
