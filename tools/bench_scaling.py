@@ -45,9 +45,25 @@ Protocol (round-2; each item root-caused from a measured distortion):
 
 Heap: set SPARK_GRAFT_DRIVER_MEM in the environment (default 24g).
 
+7. **Process topology** (``--topology=procs``, round 5): the open
+   question after round 4 was whether the 8→32 ratio loss is
+   single-JVM 32-thread contention (GC, allocator, one heap) that a
+   real N→4N *executor* scale-out would not pay. Spark's
+   ``local-cluster[n,cores,mem]`` master runs a standalone master +
+   n workers in the driver JVM and launches n SEPARATE EXECUTOR JVM
+   PROCESSES on this same box — real multi-process topology (per-JVM
+   heaps/GC, netty shuffle between processes, per-executor python
+   workers) with the hardware held constant. A level of C total cores
+   becomes ``local-cluster[C/exec_cores, exec_cores, mem]``, so
+   8→32 compares 1 executor vs 4 executors of identical shape —
+   exactly the north_rule's "N and 4N executors", minus the network.
+   Pinning still applies: executor JVMs are children of the pinned
+   driver and inherit its CPU affinity mask.
+
 Usage: python tools/bench_scaling.py [n_pages] [n_hosts] [img_w img_h]
        [--levels=8,32] [--mode=mega|rounds] [--passes=3]
        [--fetch=broadcast|shuffle|bucketed] [--buckets=32]
+       [--topology=threads|procs] [--exec-cores=8] [--exec-mem-mb=12288]
        [--out=FILE.json] [--extra-conf=spark.k1=v1,spark.k2=v2]
 """
 
@@ -78,6 +94,9 @@ shuffle_parts = int(sys.argv[7]) if sys.argv[7] != "auto" else cpus
 n_buckets = int(sys.argv[8]) if len(sys.argv) > 8 else 32
 decomp = len(sys.argv) > 9 and sys.argv[9] == "1"
 extra_conf = json.loads(sys.argv[10]) if len(sys.argv) > 10 else {}
+topology = sys.argv[11] if len(sys.argv) > 11 else "threads"
+exec_cores = int(sys.argv[12]) if len(sys.argv) > 12 else 8
+exec_mem_mb = int(sys.argv[13]) if len(sys.argv) > 13 else 12288
 
 
 def cpu_times():
@@ -131,7 +150,24 @@ class Sampler(threading.Thread):
         }
 
 
-spark = get_spark("scale_%%d" %% cpus, master="local[%%d]" %% cpus,
+n_executors = 0  # threads mode: executor == driver JVM
+if topology == "procs":
+    # separate executor JVMs on this box (protocol item 7): one
+    # standalone worker per exec_cores slice, each hosting exactly one
+    # executor JVM of exec_mem_mb (worker mem == executor mem). The
+    # python package reaches the executors' UDF workers via
+    # executorEnv.PYTHONPATH (same box, same filesystem — the
+    # spark-submit --py-files equivalent with zero staging).
+    n_executors = max(1, cpus // exec_cores)
+    master = "local-cluster[%%d,%%d,%%d]" %% (n_executors, exec_cores, exec_mem_mb)
+    extra_conf = {
+        "spark.executor.memory": "%%dm" %% exec_mem_mb,
+        "spark.executorEnv.PYTHONPATH": %(repo)r,
+        **extra_conf,
+    }
+else:
+    master = "local[%%d]" %% cpus
+spark = get_spark("scale_%%d" %% cpus, master=master,
                   shuffle_partitions=shuffle_parts,
                   extra_conf={"spark.ui.showConsoleProgress": "false",
                               "spark.sql.files.maxPartitionBytes": "32m",
@@ -266,6 +302,9 @@ for i in range(n_passes):
                     "urls_per_sec": round(len(visited) / elapsed, 1),
                     "steal_pct": round(100.0 * (s1 - s0) / dtot, 1),
                     "busy_pct": round(100.0 * (b1 - b0) / dtot, 1),
+                    "topology": topology, "master": master,
+                    "n_executors": n_executors,
+                    "exec_mem_mb": exec_mem_mb if topology == "procs" else None,
                     "heap_gb": heap_gb,
                     "cpu_probe_ms": [probe0, probe1],
                     "membw_probe_ms": [membw0, membw1],
@@ -289,14 +328,16 @@ def prewarm_page_cache(corpus_path: str) -> None:
 def run_level(cpus: int, corpus_path: str, mode: str, passes: int,
               fetch_shape: str, partitions: str = "auto",
               buckets: int = 32, decomp: bool = False,
-              extra_conf: dict | None = None) -> list[dict]:
+              extra_conf: dict | None = None, topology: str = "threads",
+              exec_cores: int = 8, exec_mem_mb: int = 12288) -> list[dict]:
     prewarm_page_cache(corpus_path)
     script = WORKER % {"repo": REPO}
     n_pages = int(corpus_path.split("_p")[1].split("_")[0])
     cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c",
            script, str(cpus), corpus_path, mode, str(passes), fetch_shape,
            str(n_pages), partitions, str(buckets), "1" if decomp else "0",
-           json.dumps(extra_conf or {})]
+           json.dumps(extra_conf or {}), topology, str(exec_cores),
+           str(exec_mem_mb)]
     # Honor an explicit SPARK_GRAFT_DRIVER_MEM from the caller; default
     # 24g (the protocol heap every recorded run actually used). NOTE:
     # until round 4 this line hardcoded "24g", silently overriding the
@@ -379,6 +420,9 @@ def main() -> None:
     partitions = flags.get("--partitions", "auto") or "auto"
     buckets = int(flags.get("--buckets", "32") or 32)  # bucketed-fetch nb
     decomp = "--decomp" in flags  # per-write engine timings + io timeline
+    topology = flags.get("--topology", "threads") or "threads"
+    exec_cores = int(flags.get("--exec-cores", "8") or 8)
+    exec_mem_mb = int(flags.get("--exec-mem-mb", "12288") or 12288)
     # --extra-conf=spark.k1=v1,spark.k2=v2 → session conf A/Bs (e.g.
     # arrow maxRecordsPerBatch) without editing the harness
     extra_conf = dict(
@@ -401,7 +445,8 @@ def main() -> None:
         spark.stop()
 
     levels_out = {c: run_level(c, corpus_path, mode, passes, fetch_shape,
-                               partitions, buckets, decomp, extra_conf)
+                               partitions, buckets, decomp, extra_conf,
+                               topology, exec_cores, exec_mem_mb)
                   for c in levels}
     digests = {r["sha256_visited"] for rs in levels_out.values() for r in rs}
     assert len(digests) == 1, "crawl output differs across parallelism levels!"
@@ -436,6 +481,9 @@ def main() -> None:
         "mode": mode,
         "fetch": fetch_shape,
         "passes": passes,
+        "topology": topology,
+        "exec_cores": exec_cores if topology == "procs" else None,
+        "exec_mem_mb": exec_mem_mb if topology == "procs" else None,
         "partitions": partitions,
         "buckets": buckets if fetch_shape == "bucketed" else None,
         "n_pages": n_pages,
@@ -446,7 +494,8 @@ def main() -> None:
         "pinned": True,
     }
     print(json.dumps(report))
-    suffix = "_decomp" if decomp else ""
+    suffix = ("_procs" if topology == "procs" else "") + (
+        "_decomp" if decomp else "")
     fn = (flags.get("--out") or
           f"bench_scaling_{mode}_{lo}_{hi}{suffix}.json")
     with open(os.path.join(REPO, fn), "w") as f:
