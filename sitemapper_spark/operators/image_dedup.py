@@ -36,7 +36,65 @@ from pyspark.sql import DataFrame
 from ..functions.images import decode_image, dhash64
 from .dedup_ops import hamming_band_pairs
 
-__all__ = ["phash_near_dup_pairs", "decode_signatures"]
+__all__ = [
+    "phash_near_dup_pairs",
+    "decode_signatures",
+    "designed_hash_pixels",
+    "flip_last_col_bits",
+]
+
+
+def _dhash_grid(w: int, h: int):
+    """The exact block grid dhash64 reduces over (same linspace)."""
+    ys = np.linspace(0, h, 9, dtype=np.int64)
+    xs = np.linspace(0, w, 10, dtype=np.int64)
+    return ys, xs
+
+
+def designed_hash_pixels(bits: np.ndarray, w: int = 16, h: int = 12) -> np.ndarray:
+    """(h, w, 3) uint8 pixels whose ``dhash64`` equals ``bits`` EXACTLY.
+
+    ``bits`` is (8, 8) in {0, 1}: bit (i, j) = (block[i, j+1] >
+    block[i, j]). Each of the hash's 8x9 blocks is filled with one
+    constant, built as a per-row walk v[i, j+1] = v[i, j] ± 8 from 128
+    — values stay in [64, 192] and every comparison is strict by an
+    8-gray margin. All values are multiples of 4, so the qjpg
+    quantizer ((v // 4) * 4 + 2) shifts every block by exactly +2 and
+    preserves every comparison: the construction survives the lossy
+    path bit-for-bit.
+
+    This is the constructive oracle for the hamming > 0 banding
+    contract (``image_near_dup_h2``): a hash function inverted onto
+    its own block grid, so planted hamming distances are exact by
+    construction, not by hoping a pixel edit flips the right bit.
+    """
+    assert bits.shape == (8, 8)
+    vals = np.empty((8, 9), dtype=np.int64)
+    vals[:, 0] = 128
+    for j in range(8):
+        vals[:, j + 1] = vals[:, j] + np.where(bits[:, j] > 0, 8, -8)
+    ys, xs = _dhash_grid(w, h)
+    px = np.empty((h, w, 3), dtype=np.uint8)
+    for i in range(8):
+        for j in range(9):
+            px[ys[i]:ys[i + 1], xs[j]:xs[j + 1], :] = np.uint8(vals[i, j])
+    return px
+
+
+def flip_last_col_bits(bits: np.ndarray, rows: list[int]) -> np.ndarray:
+    """Flip comparison (row, 7) for each given row — the LAST column.
+
+    Block (i, 8) participates in exactly ONE comparison
+    (block[i, 8] > block[i, 7]), so regenerating pixels from the
+    flipped pattern changes only that bit of the hash: the resulting
+    twin is at hamming == len(rows) from the original, exactly.
+    (Flipping an interior bit (i, j<7) would move block (i, j+1),
+    which also feeds comparison (i, j+1) — not hamming-exact.)
+    """
+    out = bits.copy()
+    for r in rows:
+        out[r, 7] ^= 1
+    return out
 
 
 def phash_near_dup_pairs(

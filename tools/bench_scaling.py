@@ -64,7 +64,7 @@ Usage: python tools/bench_scaling.py [n_pages] [n_hosts] [img_w img_h]
        [--levels=8,32] [--mode=mega|rounds] [--passes=3]
        [--fetch=broadcast|shuffle|bucketed] [--buckets=32]
        [--topology=threads|procs] [--exec-cores=8] [--exec-mem-mb=12288]
-       [--out=FILE.json] [--extra-conf=spark.k1=v1,spark.k2=v2]
+       [--shards=1] [--out=FILE.json] [--extra-conf=spark.k1=v1,spark.k2=v2]
 """
 
 from __future__ import annotations
@@ -97,6 +97,7 @@ extra_conf = json.loads(sys.argv[10]) if len(sys.argv) > 10 else {}
 topology = sys.argv[11] if len(sys.argv) > 11 else "threads"
 exec_cores = int(sys.argv[12]) if len(sys.argv) > 12 else 8
 exec_mem_mb = int(sys.argv[13]) if len(sys.argv) > 13 else 12288
+bloom_shards = int(sys.argv[14]) if len(sys.argv) > 14 else 1
 
 
 def cpu_times():
@@ -273,6 +274,7 @@ for i in range(n_passes):
     cfg = CrawlConfig(max_depth=max_depth, per_host_budget=budget,
                       use_bloom=True, bloom_min_visited=20_000,
                       bloom_expected_urls=max(4_000_000, 2 * n_pages),
+                      bloom_shards=bloom_shards,
                       checkpoint_dir=ckpt,
                       hot_host_threshold=200_000, decode_verify_images=True,
                       broadcast_fetch_max=bfm, verbose=decomp)
@@ -329,7 +331,8 @@ def run_level(cpus: int, corpus_path: str, mode: str, passes: int,
               fetch_shape: str, partitions: str = "auto",
               buckets: int = 32, decomp: bool = False,
               extra_conf: dict | None = None, topology: str = "threads",
-              exec_cores: int = 8, exec_mem_mb: int = 12288) -> list[dict]:
+              exec_cores: int = 8, exec_mem_mb: int = 12288,
+              bloom_shards: int = 1) -> list[dict]:
     prewarm_page_cache(corpus_path)
     script = WORKER % {"repo": REPO}
     n_pages = int(corpus_path.split("_p")[1].split("_")[0])
@@ -337,7 +340,7 @@ def run_level(cpus: int, corpus_path: str, mode: str, passes: int,
            script, str(cpus), corpus_path, mode, str(passes), fetch_shape,
            str(n_pages), partitions, str(buckets), "1" if decomp else "0",
            json.dumps(extra_conf or {}), topology, str(exec_cores),
-           str(exec_mem_mb)]
+           str(exec_mem_mb), str(bloom_shards)]
     # Honor an explicit SPARK_GRAFT_DRIVER_MEM from the caller; default
     # 24g (the protocol heap every recorded run actually used). NOTE:
     # until round 4 this line hardcoded "24g", silently overriding the
@@ -423,6 +426,10 @@ def main() -> None:
     topology = flags.get("--topology", "threads") or "threads"
     exec_cores = int(flags.get("--exec-cores", "8") or 8)
     exec_mem_mb = int(flags.get("--exec-mem-mb", "12288") or 12288)
+    # --shards=N benches the 10^10 sharded seen-filter path (bloom/
+    # cuckoo split across N executor-sized shards, cogroup probe)
+    # against the default driver-broadcast filter (N=1)
+    bloom_shards = int(flags.get("--shards", "1") or 1)
     # --extra-conf=spark.k1=v1,spark.k2=v2 → session conf A/Bs (e.g.
     # arrow maxRecordsPerBatch) without editing the harness
     extra_conf = dict(
@@ -446,7 +453,8 @@ def main() -> None:
 
     levels_out = {c: run_level(c, corpus_path, mode, passes, fetch_shape,
                                partitions, buckets, decomp, extra_conf,
-                               topology, exec_cores, exec_mem_mb)
+                               topology, exec_cores, exec_mem_mb,
+                               bloom_shards)
                   for c in levels}
     digests = {r["sha256_visited"] for rs in levels_out.values() for r in rs}
     assert len(digests) == 1, "crawl output differs across parallelism levels!"
@@ -484,6 +492,7 @@ def main() -> None:
         "topology": topology,
         "exec_cores": exec_cores if topology == "procs" else None,
         "exec_mem_mb": exec_mem_mb if topology == "procs" else None,
+        "bloom_shards": bloom_shards,
         "partitions": partitions,
         "buckets": buckets if fetch_shape == "bucketed" else None,
         "n_pages": n_pages,
