@@ -138,7 +138,15 @@ class CrawlConfig:
     bloom_shards: int = 1  # >1 → distributed sharded filter (the
     # 10^10-URL path: shard bitsets/tables live as parquet rows, probed
     # via cogroup-applyInPandas, never driver-held/broadcast whole;
-    # applies to both seen_filter implementations)
+    # applies to both seen_filter implementations). Measured cost
+    # (BENCH.md §1.6, 8M-page mega at local[32], certified): ~12–13%
+    # throughput vs the driver-held filter, INVARIANT to shard count
+    # (shards=8 and shards=64 within 0.5%) — the price is the extra
+    # candidate exchange of the cogroup probe, not per-shard work.
+    # Crossover guidance: stay at 1 while the filter fits driver +
+    # broadcast comfort (~12.8 bits/URL ⇒ ~1.6 GB at 10^9 URLs —
+    # around there, switch); past that, shard count should track
+    # executor count so each shard's bitset stays executor-resident.
     broadcast_fetch_max: int | None = 100_000  # max dequeued rows for the
     # broadcast fetch path: when this round's dequeued count is within
     # the threshold, the corpus is semi-join-pruned and the matched
@@ -185,6 +193,20 @@ class CrawlConfig:
     # artifact is durable); a crash loses at most one manifest and
     # resume re-runs that round deterministically. Fat rounds
     # (> DIRECT_ABSORB_MAX dequeued) always settle inline.
+    overlap_fat_writes: bool = True  # fat rounds (round 5): the edges +
+    # lineage writes run as CONCURRENT actions instead of a foreground
+    # barrier, and the candidate/heat chain derives from the cached
+    # `cleaned` slice by the SAME row-local explode that feeds the
+    # write — provably identical rows, no write-then-reread. The r5
+    # verbose decomp measured the foreground edges+lineage write at
+    # ~28 s of a ~41 s clean warm mega round at local[32] — a barrier
+    # spent at 83% busy, i.e. idle slots existed that the candidate
+    # chain could fill. Unlike the small-round path this persists
+    # NOTHING extra (the explode is recomputed from `cleaned`, which
+    # is already cached for the whole round) and the heavy tail still
+    # settles inline at round end, so the memory profile and the
+    # "manifest present = round complete" crash contract are exactly
+    # the old fat path's. Off = the pre-r5 foreground barrier.
     salt_buckets: int = 8
     hot_host_threshold: int = 100_000  # frontier rows per host before salting
     max_rounds: int = 1000
@@ -1416,6 +1438,35 @@ class CrawlEngine:
                         ),
                         sc=spark.sparkContext,
                     )
+                elif cfg.overlap_fat_writes:
+                    # fat rounds, overlapped (see CrawlConfig.
+                    # overlap_fat_writes): both writes become concurrent
+                    # actions over the cached `cleaned` slice; the
+                    # candidate chain below derives from the SAME cache
+                    # by the same row-local explode, so nothing waits on
+                    # parquet. No extra persist: edges_plan is
+                    # select/array_distinct/explode over `cleaned` —
+                    # recomputing it in the write job costs one cheap
+                    # row-local pass, not a re-run of the fetch/extract
+                    # UDFs (those are upstream of the cache). Exchange
+                    # widths can't race the adaptive conf retune:
+                    # edges_plan has no exchange, and lineage_plan pins
+                    # npart_round into its lambda (round-4 ADVICE).
+                    edges_new = None
+                    edges_thread = _BgAction(
+                        lambda df=edges_plan, rn=round_no: df.write.mode(
+                            "overwrite"
+                        ).parquet(self._ckpt(f"round={rn:05d}", "edges")),
+                        sc=spark.sparkContext,
+                    )
+                    lineage_thread = _BgAction(
+                        lambda df=lineage_plan, np=npart_round, rn=round_no: (
+                            df.coalesce(np)
+                            .write.mode("overwrite")
+                            .parquet(self._ckpt(f"round={rn:05d}", "lineage"))
+                        ),
+                        sc=spark.sparkContext,
+                    )
                 else:
                     _t = time.perf_counter()
                     edges_new = self._write(edges_plan, round_no, "edges")
@@ -1423,14 +1474,27 @@ class CrawlEngine:
                     _t = _mark("edges_lineage_write")
 
                 # 7) candidates at depth+1, gated by per-sitemap max_depth
-                #    (F2) and robots rules
-                candidates = (
-                    edges_new.select(
+                #    (F2) and robots rules. Source: the written-and-reread
+                #    edges when a foreground write produced them, else the
+                #    cached `cleaned` slice via the identical row-local
+                #    explode (same rows by construction — edges_plan IS
+                #    that explode).
+                if edges_new is not None:
+                    cand_base = edges_new.select(
                         "sitemap_id",
                         F.col("dst").alias("url"),
                         (F.col("depth") + 1).alias("depth"),
                         F.col("src").alias("parent"),
                     )
+                else:
+                    cand_base = cleaned.select(
+                        "sitemap_id",
+                        F.explode(F.array_distinct("_links")).alias("url"),
+                        (F.col("depth") + 1).alias("depth"),
+                        F.col("url").alias("parent"),
+                    )
+                candidates = (
+                    cand_base
                     .join(max_depth_map, "sitemap_id")
                     .filter(F.col("depth") < F.col("max_depth"))
                     .drop("max_depth")
@@ -1524,10 +1588,10 @@ class CrawlEngine:
                         cleaned.groupBy("host").agg(
                             F.sum(F.size("_links")).alias("_lf")
                         )
-                        if overlap_writes
-                        # fat rounds: the (tiny, already-written) lineage
-                        # parquet is cheaper to re-aggregate than the
-                        # multi-GB cached slice
+                        if (overlap_writes or cfg.overlap_fat_writes)
+                        # legacy fat path: the (tiny, already-written)
+                        # lineage parquet is cheaper to re-aggregate than
+                        # the multi-GB cached slice
                         else lineage_new.groupBy("host").agg(
                             F.sum("links_found").alias("_lf")
                         )

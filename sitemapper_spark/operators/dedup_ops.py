@@ -199,8 +199,10 @@ def minhash_near_dup_pairs(
     threshold: float = 0.7,
     seed: int = 42,
     collapse_exact: bool = True,
-    sig_impl: str = "catalyst",  # "catalyst" | "numpy" — bit-identical
-    # signatures (see minhash_signature_np_col); pick by measurement
+    sig_impl: str = "numpy",  # "catalyst" | "numpy" — bit-identical
+    # signatures (see minhash_signature_np_col); numpy is the measured
+    # default: 4.63 s vs 15.55 s best-warm for the full pipeline at
+    # sf0.1/k=128 with identical pair sets (bench_minhash_ab.json)
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline with exact-Jaccard verify.
 

@@ -151,3 +151,80 @@ class TestMinhashNumpySignature:
         }
         assert cat == npy
         assert len(cat) >= 10  # the planted near-dups were found
+
+
+class TestOverlapFatWrites:
+    """overlap_fat_writes (round-5 scaling work): on fat rounds the
+    edges+lineage writes become concurrent actions and the candidate
+    chain derives from the cached `cleaned` slice via the identical
+    row-local explode. Contract: (1) pure scheduling — output identical
+    with the knob off (the pre-r5 foreground barrier); (2) the crash
+    window it opens is the SAME one pipeline_rounds already guarantees
+    against ("manifest present = round complete"): losing the last
+    manifest plus a background-written artifact resumes to the
+    reference state. DIRECT_ABSORB_MAX is pinned tiny so every round
+    takes the fat path."""
+
+    def _run(self, spark, corpus, ckpt, **over):
+        from sitemapper_spark import corpus as cm
+        from sitemapper_spark.engine import CrawlConfig, CrawlEngine
+
+        cfg = CrawlConfig(
+            max_depth=5, use_bloom=False, num_partitions=4,
+            checkpoint_dir=ckpt, **over,
+        )
+        seeds = [(cm.testsite_root(), "s0", 3, 0.0)]
+        return CrawlEngine(spark, corpus, cfg).run(seeds)
+
+    @staticmethod
+    def _state(res):
+        vis = {(r["url"], r["depth"], r["round"])
+               for r in res.visited.collect()}
+        edg = {(r["src"], r["dst"]) for r in res.edges.collect()}
+        return vis, edg, res.adjacency_dict("s0")
+
+    def test_overlapped_equals_barrier(self, spark, tmp_path, monkeypatch):
+        from sitemapper_spark import corpus as cm
+        from sitemapper_spark.engine import CrawlEngine
+
+        monkeypatch.setattr(CrawlEngine, "DIRECT_ABSORB_MAX", 2)
+        corpus = cm.testsite_corpus(spark)
+        on = self._run(spark, corpus, str(tmp_path / "ck_fat_on"))
+        off = self._run(spark, corpus, str(tmp_path / "ck_fat_off"),
+                        overlap_fat_writes=False)
+        assert self._state(on) == self._state(off)
+
+    def test_crash_losing_bg_edges_resumes_identical(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import os
+        import shutil
+
+        from sitemapper_spark import corpus as cm
+        from sitemapper_spark.engine import CrawlEngine
+
+        monkeypatch.setattr(CrawlEngine, "DIRECT_ABSORB_MAX", 2)
+        corpus = cm.testsite_corpus(spark)
+        ref = self._run(spark, corpus, str(tmp_path / "ck_fat_ref"))
+
+        ckpt = str(tmp_path / "ck_fat_crash")
+        res = self._run(spark, corpus, ckpt)
+        rounds = sorted(
+            int(d.split("=")[1]) for d in os.listdir(ckpt)
+            if d.startswith("round=")
+        )
+        last = rounds[-1]
+        assert res.rounds == last + 1
+        os.remove(os.path.join(ckpt, f"round={last:05d}", "MANIFEST.json"))
+        shutil.rmtree(os.path.join(ckpt, f"round={last:05d}", "edges"),
+                      ignore_errors=True)
+        # resume explicitly (same pattern as TestRoundTailPipelining)
+        from sitemapper_spark.engine import CrawlConfig, CrawlEngine as CE
+
+        cfg = CrawlConfig(max_depth=5, use_bloom=False, num_partitions=4,
+                          checkpoint_dir=ckpt)
+        resumed = CE(spark, corpus, cfg).run(
+            [(cm.testsite_root(), "s0", 3, 0.0)], resume=True)
+        assert self._state(resumed) == self._state(ref)
+        assert os.path.exists(
+            os.path.join(ckpt, f"round={last:05d}", "MANIFEST.json"))
