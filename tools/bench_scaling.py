@@ -65,6 +65,7 @@ Usage: python tools/bench_scaling.py [n_pages] [n_hosts] [img_w img_h]
        [--fetch=broadcast|shuffle|bucketed] [--buckets=32]
        [--topology=threads|procs] [--exec-cores=8] [--exec-mem-mb=12288]
        [--shards=1] [--out=FILE.json] [--extra-conf=spark.k1=v1,spark.k2=v2]
+       [--engine-opt=overlap_fat_writes=false,...]  (CrawlConfig kwargs)
 """
 
 from __future__ import annotations
@@ -98,6 +99,7 @@ topology = sys.argv[11] if len(sys.argv) > 11 else "threads"
 exec_cores = int(sys.argv[12]) if len(sys.argv) > 12 else 8
 exec_mem_mb = int(sys.argv[13]) if len(sys.argv) > 13 else 12288
 bloom_shards = int(sys.argv[14]) if len(sys.argv) > 14 else 1
+engine_opts = json.loads(sys.argv[15]) if len(sys.argv) > 15 else {}
 
 
 def cpu_times():
@@ -277,7 +279,8 @@ for i in range(n_passes):
                       bloom_shards=bloom_shards,
                       checkpoint_dir=ckpt,
                       hot_host_threshold=200_000, decode_verify_images=True,
-                      broadcast_fetch_max=bfm, verbose=decomp)
+                      broadcast_fetch_max=bfm, verbose=decomp,
+                      **engine_opts)
     probe0 = cpu_probe_ms()
     membw0 = membw_probe_ms()
     b0, s0, t0j = cpu_times()
@@ -332,7 +335,8 @@ def run_level(cpus: int, corpus_path: str, mode: str, passes: int,
               buckets: int = 32, decomp: bool = False,
               extra_conf: dict | None = None, topology: str = "threads",
               exec_cores: int = 8, exec_mem_mb: int = 12288,
-              bloom_shards: int = 1) -> list[dict]:
+              bloom_shards: int = 1,
+              engine_opts: dict | None = None) -> list[dict]:
     prewarm_page_cache(corpus_path)
     script = WORKER % {"repo": REPO}
     n_pages = int(corpus_path.split("_p")[1].split("_")[0])
@@ -340,7 +344,8 @@ def run_level(cpus: int, corpus_path: str, mode: str, passes: int,
            script, str(cpus), corpus_path, mode, str(passes), fetch_shape,
            str(n_pages), partitions, str(buckets), "1" if decomp else "0",
            json.dumps(extra_conf or {}), topology, str(exec_cores),
-           str(exec_mem_mb), str(bloom_shards)]
+           str(exec_mem_mb), str(bloom_shards),
+           json.dumps(engine_opts or {})]
     # Honor an explicit SPARK_GRAFT_DRIVER_MEM from the caller; default
     # 24g (the protocol heap every recorded run actually used). NOTE:
     # until round 4 this line hardcoded "24g", silently overriding the
@@ -436,6 +441,23 @@ def main() -> None:
         kv.split("=", 1) for kv in flags.get("--extra-conf", "").split(",")
         if "=" in kv)
 
+    # --engine-opt=k1=v1,k2=v2 → CrawlConfig kwarg A/Bs (e.g.
+    # overlap_fat_writes=false) without editing the harness; values
+    # coerced bool/int/float by shape, else kept as strings
+    def _coerce(v: str):
+        if v.lower() in ("true", "false"):
+            return v.lower() == "true"
+        for cast in (int, float):
+            try:
+                return cast(v)
+            except ValueError:
+                pass
+        return v
+
+    engine_opts = {
+        kv.split("=", 1)[0]: _coerce(kv.split("=", 1)[1])
+        for kv in flags.get("--engine-opt", "").split(",") if "=" in kv}
+
     sys.path.insert(0, REPO)
     from sitemapper_spark.corpus import synth_corpus
     from sitemapper_spark.session import get_spark
@@ -454,7 +476,7 @@ def main() -> None:
     levels_out = {c: run_level(c, corpus_path, mode, passes, fetch_shape,
                                partitions, buckets, decomp, extra_conf,
                                topology, exec_cores, exec_mem_mb,
-                               bloom_shards)
+                               bloom_shards, engine_opts)
                   for c in levels}
     digests = {r["sha256_visited"] for rs in levels_out.values() for r in rs}
     assert len(digests) == 1, "crawl output differs across parallelism levels!"
@@ -493,6 +515,7 @@ def main() -> None:
         "exec_cores": exec_cores if topology == "procs" else None,
         "exec_mem_mb": exec_mem_mb if topology == "procs" else None,
         "bloom_shards": bloom_shards,
+        "engine_opts": engine_opts,
         "partitions": partitions,
         "buckets": buckets if fetch_shape == "bucketed" else None,
         "n_pages": n_pages,
