@@ -81,10 +81,15 @@ def test_run_level_passes_extra_conf_as_json(bs, monkeypatch):
     monkeypatch.setattr(bs.subprocess, "run", fake_run)
     monkeypatch.setattr(bs, "prewarm_page_cache", lambda p: None)
     conf = {"spark.sql.execution.arrow.maxRecordsPerBatch": "8192"}
+    opts = {"overlap_fat_writes": False}
     bs.run_level(8, "/tmp/x_p1000_h2_i1x1_r2", "mega", 1, "shuffle",
-                 extra_conf=conf)
+                 extra_conf=conf, engine_opts=opts)
     import json as _json
-    assert _json.loads(captured["cmd"][-1]) == conf
+    # worker argv mapping: cmd[5] is the inline script (= sys.argv[0]),
+    # so worker sys.argv[i] == cmd[5 + i]; extra_conf is argv[10],
+    # engine_opts argv[15]
+    assert _json.loads(captured["cmd"][5 + 10]) == conf
+    assert _json.loads(captured["cmd"][5 + 15]) == opts
 
 
 def test_certify_bimodal_windows(bs):
