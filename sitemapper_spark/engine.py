@@ -160,6 +160,17 @@ class CrawlConfig:
     # warm pass at local[32] on the 1M-page mega bench). 100k rows
     # (~60 MB with out_links) keeps the broadcast win for small rounds
     # without entering that regime.
+    fetch_prune_broadcast_max: int | None = 20_000_000  # max dequeued
+    # rows for semi-join-pruning the corpus BEFORE the shuffle fetch
+    # join (guide §3.2: reduce the big side before shuffling it). Rounds
+    # above broadcast_fetch_max fall back to a shuffle fetch join; the
+    # exchange then used to carry the WHOLE projected corpus (every
+    # row, matched or not) every round. Within this bound the dequeued
+    # urls-only key slice (tens of bytes/row — same sizing argument as
+    # image_keys_broadcast_max) is broadcast as a semi-join that drops
+    # non-matching corpus rows before the exchange, cutting the fetch
+    # shuffle from O(corpus) to O(dequeued) bytes. Beyond it (10^9-row
+    # dequeues): plain shuffle join — bucket the corpus by url there.
     image_keys_broadcast_max: int | None = 20_000_000  # max dequeued
     # rows for broadcasting the urls-only key slice that prunes the
     # image corpus before decode. Separate from broadcast_fetch_max:
@@ -467,6 +478,12 @@ class CrawlEngine:
         for the rest of the run (exact anti-join only)."""
         from .operators.cuckoo import build_cuckoo_shards
 
+        # the rebuild reads the visited PARQUET — any in-flight
+        # background visited writer must land first (a partial round
+        # dir would rebuild a filter with missing keys, and a seen-
+        # filter false negative bypasses the exact anti-join)
+        for th in getattr(self, "_visited_write_threads", []):
+            th.join()
         all_vh = self._read_rounds(
             "visited", getattr(self, "_visited_rounds", [])
         )
@@ -511,6 +528,10 @@ class CrawlEngine:
         for the rest of the run (exact anti-join only)."""
         from .operators.cuckoo import build_cuckoo
 
+        # see _sharded_cuckoo_degrade: in-flight visited writers must
+        # land before the rebuild reads the visited parquet
+        for th in getattr(self, "_visited_write_threads", []):
+            th.join()
         all_vh = self._read_rounds(
             "visited", getattr(self, "_visited_rounds", [])
         )
@@ -1003,18 +1024,64 @@ class CrawlEngine:
             .collect()
         )
         sitemap_ids = [r["sitemap_id"] for r in meta_rows]
-        max_depth_map = F.broadcast(
-            spark.createDataFrame(
-                [(r["sitemap_id"], r["max_depth"]) for r in meta_rows],
-                "sitemap_id string, max_depth int",
+        # Sitemap metadata attach: for a small sitemap count the two
+        # per-round broadcast-hash joins (max_depth gate + root attach)
+        # are replaced by literal map lookups — each broadcast join
+        # costs a per-round BroadcastExchange build job plus a join
+        # node in every round's plan, pure fixed floor in the
+        # fixpoint-dominated regime (guide §2.4: remove exchanges
+        # outright). `element_at` returns NULL for an unknown
+        # sitemap_id; the explicit isNotNull filter reproduces the
+        # inner join's drop semantics exactly. Above the cap the
+        # literal map would bloat every plan, so the broadcast-join
+        # path remains (10^5-sitemap shape).
+        _META_LITERAL_MAX = 256
+        use_literal_meta = 0 < len(meta_rows) <= _META_LITERAL_MAX
+        if use_literal_meta:
+            md_map = F.create_map(
+                *[
+                    x
+                    for r in meta_rows
+                    for x in (F.lit(r["sitemap_id"]), F.lit(r["max_depth"]))
+                ]
             )
-        )
-        roots_map = F.broadcast(
-            spark.createDataFrame(
-                [(r["sitemap_id"], r["root"]) for r in meta_rows],
-                "sitemap_id string, root string",
+            root_map = F.create_map(
+                *[
+                    x
+                    for r in meta_rows
+                    for x in (F.lit(r["sitemap_id"]), F.lit(r["root"]))
+                ]
             )
-        )
+
+            def attach_max_depth(df: DataFrame) -> DataFrame:
+                return df.withColumn(
+                    "max_depth",
+                    F.element_at(md_map, F.col("sitemap_id")).cast("int"),
+                ).filter(F.col("max_depth").isNotNull())
+
+            def attach_root(df: DataFrame) -> DataFrame:
+                return df.withColumn(
+                    "root", F.element_at(root_map, F.col("sitemap_id"))
+                ).filter(F.col("root").isNotNull())
+        else:
+            max_depth_map = F.broadcast(
+                spark.createDataFrame(
+                    [(r["sitemap_id"], r["max_depth"]) for r in meta_rows],
+                    "sitemap_id string, max_depth int",
+                )
+            )
+            roots_map = F.broadcast(
+                spark.createDataFrame(
+                    [(r["sitemap_id"], r["root"]) for r in meta_rows],
+                    "sitemap_id string, root string",
+                )
+            )
+
+            def attach_max_depth(df: DataFrame) -> DataFrame:
+                return df.join(max_depth_map, "sitemap_id")
+
+            def attach_root(df: DataFrame) -> DataFrame:
+                return df.join(roots_map, "sitemap_id")
 
         # A resumed engine that still holds a live filter (e.g. after an
         # expire() that deleted in place — the whole point of the cuckoo
@@ -1092,10 +1159,9 @@ class CrawlEngine:
             # the SAME scheme/host as every later round; duplicate seed
             # rows are deduped (first-wins — they are identical URLs).
             seed_plan = (
-                self.seeds_to_frontier(seeds)
-                .drop("root")
-                .join(roots_map, "sitemap_id")
-                .join(max_depth_map, "sitemap_id")
+                attach_max_depth(
+                    attach_root(self.seeds_to_frontier(seeds).drop("root"))
+                )
                 .filter(F.col("depth") < F.col("max_depth"))
                 .drop("max_depth")
                 .dropDuplicates(["sitemap_id", "url"])
@@ -1116,6 +1182,19 @@ class CrawlEngine:
             self._visited_rounds = visited_rounds
 
         round_no = start_round
+        # Frontier cardinality is tracked ACROSS rounds: the loop-top
+        # emptiness probe job and the eager localCheckpoint
+        # materialization job are folded into ONE count job per round
+        # (the count that materializes the next frontier also sizes it;
+        # round-5 verdict #2 — fewer serial driver actions per round).
+        # Here, at loop entry, the frontier is parquet-backed, so the
+        # count is a cheap metadata job.
+        n_frontier = frontier.count()
+        # visited parquet writes run in the background; anything that
+        # re-reads the visited PARQUET mid-run (the next round's prior-
+        # rounds scan, the rare cuckoo degrade rebuild) must join the
+        # in-flight writers first.
+        self._visited_write_threads: list[_BgAction] = []
 
         # adaptive per-round exchange sizing (see CrawlConfig
         # .adaptive_partitions): the session's shuffle-partition count
@@ -1151,6 +1230,16 @@ class CrawlEngine:
         # end). The manifest invariant is identical in both regimes.
         pending_tail: dict | None = None
 
+        # Every background thread / round cache / filter broadcast is
+        # tracked from the moment it exists so an EXCEPTIONAL exit can
+        # settle it (round-5 verdict #4 + ADVICE: a mid-round failure
+        # must not leave writer threads racing teardown or leak cached
+        # DataFrames/broadcasts into a shared session). Normal settles
+        # discard their items from these lists.
+        live_threads: list[_BgAction] = []
+        live_caches: list[DataFrame] = []
+        live_bcs: list = []
+
         def settle_tail(tail: dict) -> None:
             for th in tail["threads"]:
                 th.join()
@@ -1158,6 +1247,18 @@ class CrawlEngine:
                 df.unpersist()
             for bc in tail["bcs"]:
                 bc.destroy()
+            live_threads[:] = [
+                t for t in live_threads
+                if all(t is not t2 for t2 in tail["threads"])
+            ]
+            live_caches[:] = [
+                d for d in live_caches
+                if all(d is not d2 for d2 in tail["unpersist"])
+            ]
+            live_bcs[:] = [
+                b for b in live_bcs
+                if all(b is not b2 for b2 in tail["bcs"])
+            ]
             if tail["manifest"] is not None:
                 self._manifest(tail["round_no"], tail["manifest"])
 
@@ -1177,38 +1278,97 @@ class CrawlEngine:
                     ph[name] = ph.get(name, 0.0) + now - (t0 or _t)
                     return now
 
-                if frontier.isEmpty():
+                if n_frontier <= 0:
                     break
-                _t = _mark("is_empty")
 
                 # 1) politeness dequeue (F3/F10): top-priority per host,
                 #    deterministic carry-over instead of random backoff
                 dequeued, carry = dequeue_per_host(
                     frontier, cfg.per_host_budget, self.robots
                 )
-                # intra-round reuse only — resume needs just the parquet
-                # artifacts (visited/edges/lineage/frontier_next)
-                dequeued = dequeued.persist()
-                carry = carry.persist()
-
-                # 2) mark visited BEFORE fetch (F5, `crawler.go:173`)
-                visited_new = self._write(
-                    dequeued.select(
-                        "sitemap_id", "url", "host", "depth",
-                        F.lit(round_no).alias("round"),
-                    ),
-                    round_no,
-                    "visited",
+                # With no budget and no robots the dequeue is the
+                # identity split: dequeued IS the frontier (checkpoint/
+                # parquet-backed already) and carry is a provable
+                # limit(0). Skipping their persists — and every carry
+                # plan node below — matters because Dataset.persist()
+                # is NOT free on the driver: CacheManager compiles the
+                # subtree's physical plan at registration (profiled at
+                # ~0.4 s per call on the fixpoint shape, the single
+                # largest driver-side bucket of the deep-BFS bench).
+                identity_dequeue = (
+                    cfg.per_host_budget is None and self.robots is None
                 )
-                _t = _mark("visited_write")
+                if not identity_dequeue:
+                    # intra-round reuse only — resume needs just the
+                    # parquet artifacts (visited/edges/lineage/frontier_next)
+                    dequeued = dequeued.persist()
+                    carry = carry.persist()
+                    live_caches += [dequeued, carry]
+
+                # 2) mark visited BEFORE fetch (F5, `crawler.go:173`).
+                #    The visited parquet write is a BACKGROUND action
+                #    (joined before this round's manifest, so "manifest
+                #    present = round complete" is untouched); the round
+                #    body consumes the cached slice directly instead of
+                #    the old write-then-reread barrier, which held the
+                #    whole round behind a foreground parquet encode.
+                visited_slice = dequeued.select(
+                    "sitemap_id", "url", "host", "depth",
+                    F.lit(round_no).alias("round"),
+                )
+                # Dequeue size: derived instead of counted where it
+                # cannot differ from the (already counted) frontier —
+                # no budget and no robots make the dequeue the identity
+                # split — or where both are below EVERY size threshold,
+                # so each size-based plan choice (broadcast-vs-shuffle
+                # fetch, direct-vs-distributed absorb, overlap mode,
+                # image bound) is identical either way. Only a fat
+                # budgeted round pays a count job (which doubles as the
+                # dequeue cache fill). The running _visited_total then
+                # upper-bounds the true total when a budget binds —
+                # it only gates the ADVISORY bloom engage threshold,
+                # never a result.
+                if cfg.per_host_budget is None and self.robots is None:
+                    n_dequeued = n_frontier
+                else:
+                    bounds = [self.DIRECT_ABSORB_MAX]
+                    if cfg.broadcast_fetch_max is not None:
+                        bounds.append(cfg.broadcast_fetch_max)
+                    if (
+                        self.image_side is not None
+                        and cfg.image_keys_broadcast_max is not None
+                    ):
+                        bounds.append(cfg.image_keys_broadcast_max)
+                    if cfg.fetch_prune_broadcast_max is not None:
+                        bounds.append(cfg.fetch_prune_broadcast_max)
+                    if n_frontier <= min(bounds):
+                        n_dequeued = n_frontier
+                    else:
+                        n_dequeued = dequeued.count()
+                        _t = _mark("dequeue_count")
                 visited_rounds = visited_rounds + [round_no]
                 self._visited_rounds = visited_rounds
-                visited = self._read_rounds("visited", visited_rounds)
-                # dequeued row count — a parquet-footer count on the slice
-                # just written (cheap, no recompute). Drives the running
-                # visited total AND the broadcast-vs-shuffle fetch decision.
-                n_dequeued = visited_new.count()
-                _t = _mark("dequeue_count")
+                # prior rounds come from parquet — join any still-running
+                # visited writers first (they had a full round of overlap)
+                for th in self._visited_write_threads:
+                    th.join()
+                self._visited_write_threads = []
+                visited_prior = self._read_rounds(
+                    "visited", visited_rounds[:-1]
+                )
+                visited = (
+                    visited_prior.unionByName(visited_slice)
+                    if visited_prior is not None
+                    else visited_slice
+                )
+                visited_thread = _BgAction(
+                    lambda df=visited_slice, rn=round_no: df.write.mode(
+                        "overwrite"
+                    ).parquet(self._ckpt(f"round={rn:05d}", "visited")),
+                    sc=spark.sparkContext,
+                )
+                self._visited_write_threads.append(visited_thread)
+                live_threads.append(visited_thread)
                 npart_round = npart
                 if cfg.adaptive_partitions:
                     # size the round's exchanges (candidate shuffle, final
@@ -1280,6 +1440,7 @@ class CrawlEngine:
                         self._write, image_rows, round_no, "images",
                         sc=spark.sparkContext,
                     )
+                    live_threads.append(image_thread)
 
                 bloom_thread = None
                 if cfg.use_bloom:
@@ -1289,9 +1450,10 @@ class CrawlEngine:
                     # fetch/extract/edges work below; joined before the
                     # candidate split needs the filter.
                     bloom_thread = _BgAction(
-                        self._absorb_into_bloom, visited_new, n_dequeued,
+                        self._absorb_into_bloom, visited_slice, n_dequeued,
                         sc=spark.sparkContext,
                     )
+                    live_threads.append(bloom_thread)
 
                 # 3) fetch = corpus join (F6); null right side / status!=200
                 #    = fetch error → no links, URL still visited.
@@ -1311,9 +1473,27 @@ class CrawlEngine:
                         "left",
                     )
                 else:
+                    # guide §3.2: before shuffling the corpus for the
+                    # fetch join, drop its non-matching rows with a
+                    # broadcast semi-join on the dequeued urls-only key
+                    # slice — the exchange then carries O(dequeued)
+                    # instead of O(corpus) rows. A LEFT join's result
+                    # is unchanged by pruning right-side rows that
+                    # cannot match. Past fetch_prune_broadcast_max the
+                    # key slice itself is too big to broadcast: plain
+                    # shuffle join (bucket the corpus by url there).
+                    fetch_src = self.fetch_side
+                    if (
+                        cfg.fetch_prune_broadcast_max is not None
+                        and n_dequeued <= cfg.fetch_prune_broadcast_max
+                    ):
+                        pk = F.broadcast(
+                            dequeued.select(F.col("url").alias("_corpus_url"))
+                        )
+                        fetch_src = fetch_src.join(pk, "_corpus_url", "left_semi")
                     fetched = dequeued.join(
-                        self.fetch_side,
-                        dequeued["url"] == self.fetch_side["_corpus_url"],
+                        fetch_src,
+                        dequeued["url"] == fetch_src["_corpus_url"],
                         "left",
                     )
                 if cfg.use_html_extraction:
@@ -1340,6 +1520,7 @@ class CrawlEngine:
                         ),
                     ).otherwise(F.array().cast("array<string>")),
                 ).persist()  # reused by edges + lineage; fetch/UDF run once
+                live_caches.append(cleaned)
 
                 # 5) edges (F9) — duplicates collapse like
                 #    UpdateURLWithLinks' set-union (`sitemap.go:56-66`),
@@ -1401,57 +1582,31 @@ class CrawlEngine:
                     )
                 )
                 edges_thread = lineage_thread = None
-                if overlap_writes:
-                    # These threads may still be PLANNING when the next
-                    # round's adaptive retune mutates the session's
-                    # shuffle-partition conf (the tail is settled a full
-                    # round later under pipeline_rounds), which would
-                    # make their exchange widths nondeterministic
-                    # (round-4 ADVICE). edges_plan has NO exchange
-                    # (select/array_distinct/explode over the cached
-                    # `cleaned` — row-local by construction), so the
-                    # conf can't touch it. lineage_plan's groupBy IS an
-                    # exchange: the lambda captures npart_round and
-                    # coalesces the post-agg stage to it, pinning the
-                    # write width (and file count, which the bench
-                    # decomposition reads) to THIS round's size
-                    # regardless of when the thread gets to plan.
-                    # coalesce stops at the shuffle boundary, so the
-                    # agg itself keeps its full width.
-                    # rn pinned as a default arg: the lambdas run on the
-                    # background thread, and round_no is a loop variable
-                    # the main thread increments — a by-reference capture
-                    # could resolve to the NEXT round's number if the
-                    # thread is slow to start (latent, never observed).
-                    edges_new = edges_plan.persist()
-                    edges_thread = _BgAction(
-                        lambda df=edges_new, rn=round_no: df.write.mode(
-                            "overwrite"
-                        ).parquet(self._ckpt(f"round={rn:05d}", "edges")),
-                        sc=spark.sparkContext,
-                    )
-                    lineage_thread = _BgAction(
-                        lambda df=lineage_plan, np=npart_round, rn=round_no: (
-                            df.coalesce(np)
-                            .write.mode("overwrite")
-                            .parquet(self._ckpt(f"round={rn:05d}", "lineage"))
-                        ),
-                        sc=spark.sparkContext,
-                    )
-                elif cfg.overlap_fat_writes:
-                    # fat rounds, overlapped (see CrawlConfig.
-                    # overlap_fat_writes): both writes become concurrent
-                    # actions over the cached `cleaned` slice; the
-                    # candidate chain below derives from the SAME cache
-                    # by the same row-local explode, so nothing waits on
-                    # parquet. No extra persist: edges_plan is
-                    # select/array_distinct/explode over `cleaned` —
+                if overlap_writes or cfg.overlap_fat_writes:
+                    # Overlapped rounds (small AND fat are now one
+                    # path): both writes become concurrent actions over
+                    # the cached `cleaned` slice; the candidate chain
+                    # below derives from the SAME cache by the same
+                    # row-local explode, so nothing waits on parquet.
+                    # No extra persist: edges_plan is select/
+                    # array_distinct/explode over `cleaned` —
                     # recomputing it in the write job costs one cheap
                     # row-local pass, not a re-run of the fetch/extract
-                    # UDFs (those are upstream of the cache). Exchange
-                    # widths can't race the adaptive conf retune:
-                    # edges_plan has no exchange, and lineage_plan pins
-                    # npart_round into its lambda (round-4 ADVICE).
+                    # UDFs (those are upstream of the cache). (The old
+                    # small-round path additionally persisted the
+                    # exploded edges as the candidate source; the
+                    # round-6 driver profile showed each persist() call
+                    # costs ~0.4 s of CacheManager plan compilation —
+                    # more than the row-local explode it saved.)
+                    # Exchange widths can't race the adaptive conf
+                    # retune: edges_plan has no exchange, and
+                    # lineage_plan pins npart_round into its lambda
+                    # (round-4 ADVICE). rn pinned as a default arg: the
+                    # lambdas run on the background thread, and
+                    # round_no is a loop variable the main thread
+                    # increments — a by-reference capture could resolve
+                    # to the NEXT round's number if the thread is slow
+                    # to start (latent, never observed).
                     edges_new = None
                     edges_thread = _BgAction(
                         lambda df=edges_plan, rn=round_no: df.write.mode(
@@ -1467,6 +1622,7 @@ class CrawlEngine:
                         ),
                         sc=spark.sparkContext,
                     )
+                    live_threads += [edges_thread, lineage_thread]
                 else:
                     _t = time.perf_counter()
                     edges_new = self._write(edges_plan, round_no, "edges")
@@ -1494,8 +1650,7 @@ class CrawlEngine:
                         F.col("url").alias("parent"),
                     )
                 candidates = (
-                    cand_base
-                    .join(max_depth_map, "sitemap_id")
+                    attach_max_depth(cand_base)
                     .filter(F.col("depth") < F.col("max_depth"))
                     .drop("max_depth")
                 )
@@ -1515,7 +1670,7 @@ class CrawlEngine:
                         F.col("_m.parent").alias("parent"),
                     )
                 )
-                candidates = candidates.join(roots_map, "sitemap_id")
+                candidates = attach_root(candidates)
                 candidates = candidates.withColumn("host", _host_col(F.col("url")))
                 candidates = apply_robots_gate(candidates, self.robots)
 
@@ -1569,56 +1724,67 @@ class CrawlEngine:
                         ["sitemap_id", "url"],
                         "left_anti",
                     )
-                survivors_base = survivors.join(
-                    carry.select("sitemap_id", "url"),
-                    ["sitemap_id", "url"],
-                    "left_anti",
-                ).drop("_h").persist()  # reused: hot-host scan + frontier write
+                # carried-frontier dedup: skipped outright when carry is
+                # provably empty (identity dequeue) — one less anti-join
+                # in every mega-shape round's plan. No persist: with the
+                # heat scan now reading `cleaned`, the survivor chain
+                # has exactly ONE consumer (the frontier plan below), so
+                # a cache would pay CacheManager plan compilation for
+                # zero reuse.
+                if identity_dequeue:
+                    survivors_base = survivors.drop("_h")
+                else:
+                    survivors_base = survivors.join(
+                        carry.select("sitemap_id", "url"),
+                        ["sitemap_id", "url"],
+                        "left_anti",
+                    ).drop("_h")
+                live_bcs += round_bcs
 
                 # 10) next frontier = carry-over ∪ survivors, salted where
                 # hot. Heat is an aggregate-then-FILTER on the cached
-                # `cleaned` slice — only hosts over the threshold are
-                # collected, so the driver sees O(hot hosts), never
-                # O(hosts); a host that just expanded many pages is about
-                # to produce many candidates.
-                hot_hosts: list[str] = []
-                _t = time.perf_counter()
+                # `cleaned` slice; the hot sliver (O(hot hosts), never
+                # O(hosts)) used to be COLLECTED to the driver to build
+                # a literal isin() — one extra foreground job + plan per
+                # round, pure fixpoint floor. It is now attached as a
+                # broadcast LEFT join inside the frontier plan itself
+                # (same rows: `_hot` non-null ⇔ host in the old
+                # hot_hosts list), so the heat aggregate rides in the
+                # frontier-materialization job instead of its own
+                # driver round trip; a host that just expanded many
+                # pages is about to produce many candidates.
+                salt_src = survivors_base
+                salt = F.lit(0)
                 if cfg.hot_host_threshold is not None:
-                    heat_src = (
-                        cleaned.groupBy("host").agg(
-                            F.sum(F.size("_links")).alias("_lf")
+                    heat_df = (
+                        (
+                            cleaned.groupBy("host").agg(
+                                F.sum(F.size("_links")).alias("_lf")
+                            )
+                            if (overlap_writes or cfg.overlap_fat_writes)
+                            # legacy fat path: the (tiny, already-written)
+                            # lineage parquet is cheaper to re-aggregate
+                            # than the multi-GB cached slice
+                            else lineage_new.groupBy("host").agg(
+                                F.sum("links_found").alias("_lf")
+                            )
                         )
-                        if (overlap_writes or cfg.overlap_fat_writes)
-                        # legacy fat path: the (tiny, already-written)
-                        # lineage parquet is cheaper to re-aggregate than
-                        # the multi-GB cached slice
-                        else lineage_new.groupBy("host").agg(
-                            F.sum("links_found").alias("_lf")
-                        )
+                        .filter(F.col("_lf") > cfg.hot_host_threshold)
+                        .select("host", F.lit(1).alias("_hot"))
                     )
-                    hot_hosts = [
-                        r["host"]
-                        for r in heat_src.filter(
-                            F.col("_lf") > cfg.hot_host_threshold
-                        )
-                        .select("host")
-                        .collect()
-                    ]
-                _t = _mark("heat_collect")
-                salt = (
-                    F.when(
-                        F.col("host").isin(hot_hosts),
+                    salt_src = survivors_base.join(
+                        F.broadcast(heat_df), "host", "left"
+                    )
+                    salt = F.when(
+                        F.col("_hot").isNotNull(),
                         F.pmod(F.xxhash64(F.col("url")), F.lit(cfg.salt_buckets)),
                     ).otherwise(F.lit(0))
-                    if hot_hosts
-                    else F.lit(0)
-                )
                 priority = (
                     cfg.priority_fn()
                     if cfg.priority_fn is not None
                     else F.lit(0.0) - F.lit(cfg.priority_decay) * F.col("depth")
                 )
-                survivors = survivors_base.select(
+                survivors = salt_src.select(
                     "sitemap_id",
                     "root",
                     "url",
@@ -1636,9 +1802,11 @@ class CrawlEngine:
                 # frontier repartition: the politeness windows and joins
                 # shuffle on their own keys, so a round-start repartition
                 # would be a second full-frontier exchange for nothing.
-                fr_plan = carry.unionByName(survivors).repartition(
-                    npart_round, "host_hash", "salt"
-                )
+                fr_plan = (
+                    survivors
+                    if identity_dequeue  # carry provably empty
+                    else carry.unionByName(survivors)
+                ).repartition(npart_round, "host_hash", "salt")
                 # Frontier HANDOFF: the frontier_next parquet write was the
                 # last FOREGROUND write on the round's critical path (r4
                 # decomp: 13-23 s/round at mega sizes). Materialize the
@@ -1661,23 +1829,35 @@ class CrawlEngine:
                 fr_cached = None
                 _t = time.perf_counter()
                 if cfg.frontier_handoff:
-                    fr_cached = fr_plan.localCheckpoint(eager=True)
+                    # lazy localCheckpoint + count: ONE job both
+                    # materializes the checkpoint blocks and returns the
+                    # next round's frontier size — replacing the eager
+                    # materialization job PLUS the next loop-top
+                    # isEmpty() probe job (round-5 verdict #2).
+                    fr_cached = fr_plan.localCheckpoint(eager=False)
+                    live_caches.append(fr_cached)
+                    n_frontier = fr_cached.count()
                     frontier_thread = _BgAction(
                         self._write, fr_cached, round_no, "frontier_next",
                         sc=spark.sparkContext,
                     )
+                    live_threads.append(frontier_thread)
                     frontier = fr_cached
                 else:
                     frontier = self._write(fr_plan, round_no, "frontier_next")
+                    n_frontier = frontier.count()  # parquet metadata count
                 _t = _mark("frontier_materialize")
                 heavy_tail = {
                     "threads": [
                         th
-                        for th in (edges_thread, lineage_thread, image_thread)
+                        for th in (
+                            visited_thread, edges_thread, lineage_thread,
+                            image_thread,
+                        )
                         if th is not None
                     ],
-                    "unpersist": [dequeued, carry, cleaned, survivors_base]
-                    + ([edges_new] if overlap_writes else []),
+                    "unpersist": [cleaned]
+                    + ([] if identity_dequeue else [dequeued, carry]),
                     "bcs": round_bcs,
                     "round_no": round_no,
                     "manifest": None,  # manifest travels with the light tail
@@ -1738,6 +1918,30 @@ class CrawlEngine:
             if pending_tail is not None:  # loop exited: settle the last round
                 settle_tail(pending_tail)
                 pending_tail = None
+        except BaseException:
+            # Exceptional exit: settle everything still live so a failed
+            # round never leaves a writer thread racing session teardown
+            # or leaks caches/filter broadcasts into a shared session
+            # (round-5 verdict #4 + ADVICE #1). Best-effort — the
+            # original exception is what propagates; NO manifest is
+            # written here, so an interrupted round stays incomplete and
+            # resume re-runs it deterministically.
+            for th in live_threads:
+                try:
+                    th.thread.join()
+                except Exception:  # noqa: BLE001
+                    pass
+            for df in live_caches:
+                try:
+                    df.unpersist()
+                except Exception:  # noqa: BLE001
+                    pass
+            for bc in live_bcs:
+                try:
+                    bc.destroy()
+                except Exception:  # noqa: BLE001
+                    pass
+            raise
         finally:
             # undo adaptive retuning on EVERY exit, including
             # exceptional ones (a mid-run RuntimeError — e.g. the

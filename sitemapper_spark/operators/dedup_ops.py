@@ -355,17 +355,19 @@ def hamming_band_pairs(
     """
     n_chunks = min(16, max_hamming + 1)
     width = 64 // n_chunks
-    chunk_exprs = []
-    for c in range(n_chunks):
+
+    def _chunk(col, c: int):
         w = width if c < n_chunks - 1 else 64 - width * (n_chunks - 1)
-        shifted = F.shiftrightunsigned(F.col(hash_col), width * c)
+        shifted = F.shiftrightunsigned(col, width * c)
         if w >= 64:  # single-chunk case (max_hamming=0): whole hash
-            chunk_exprs.append(shifted)
-        else:
-            chunk_exprs.append(shifted.bitwiseAND(F.lit((1 << w) - 1)))
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << w) - 1))
+
     chunks = hashed.select(
         F.col(id_col), F.col(hash_col).alias("_hh"),
-        F.posexplode(F.array(*chunk_exprs)).alias("chunk_id", "chunk"),
+        F.posexplode(
+            F.array(*[_chunk(F.col(hash_col), c) for c in range(n_chunks)])
+        ).alias("chunk_id", "chunk"),
     )
     left = chunks.select(
         F.col(id_col).alias("id_a"), F.col("_hh").alias("h_a"),
@@ -375,11 +377,25 @@ def hamming_band_pairs(
         F.col(id_col).alias("id_b"), F.col("_hh").alias("h_b"),
         "chunk_id", "chunk",
     )
+    # minimal-band emission instead of a global distinct (round-6, guide
+    # §2.4): a pair sharing k chunks appears k times in the join output;
+    # keeping only the row whose chunk_id is the SMALLEST shared chunk
+    # (all earlier chunks must differ — recomputed from the carried
+    # 8-byte hashes with shift/mask bit ops) emits every colliding pair
+    # exactly once. That is set-identical to the old
+    # ``.distinct()`` while dropping its full exchange + sort of the
+    # candidate sliver. n_chunks == 1 degenerates to no condition (a
+    # single band cannot duplicate a pair).
+    no_earlier = F.lit(True)
+    for c in range(n_chunks - 1):
+        no_earlier = no_earlier & (
+            (F.col("chunk_id") <= F.lit(c))
+            | (_chunk(F.col("h_a"), c) != _chunk(F.col("h_b"), c))
+        )
     cand = (
         left.join(right, ["chunk_id", "chunk"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter((F.col("id_a") < F.col("id_b")) & no_earlier)
         .select("id_a", "id_b", "h_a", "h_b")
-        .distinct()
     )
     hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     return cand.withColumn("hamming", hamming).filter(

@@ -115,6 +115,7 @@ def srp_lsh_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    broadcast_vectors: bool = True,
 ) -> DataFrame:
     """Near-duplicate embedding pairs: SRP-LSH banding + exact verify.
 
@@ -122,50 +123,111 @@ def srp_lsh_near_dup_pairs(
     ``n_chunks`` bands of ``n_bits/n_chunks`` bits it collides in ≥1
     band with high probability; collisions are verified with the exact
     JVM cosine fold.
+
+    Candidate-sliver plan (round-6 optimization, guide §2.3/§2.4/§3.1;
+    output provably identical to the old dropDuplicates plan):
+
+    * norms are folded ONCE per vector (same ``_fold_norm`` expression
+      over the same array → bit-identical doubles) instead of twice per
+      candidate pair — at B candidate pairs that removes 2B of the 3B
+      higher-order folds from the verify stage;
+    * each colliding pair is emitted exactly once, from its MINIMAL
+      colliding band: band c emits (a, b) only when no band c' < c also
+      collides (checked from the carried 8-byte signatures with shift/
+      mask bit ops — no extra data). The emitted multiset is therefore
+      already distinct and the old ``dropDuplicates`` — a full exchange
+      + sort of the candidate sliver, the plan's 2nd-largest shuffle —
+      is dropped outright;
+    * with ``broadcast_vectors`` (default) the verify attach joins are
+      broadcast-hash instead of shuffle joins, so candidate pairs never
+      exchange at all and the d-dim vectors never shuffle. The build
+      side is (id, v, nrm) of the INPUT table — fine up to ~10^6
+      vectors; at corpus scale flip to False and the attach falls back
+      to shuffle joins on ids (the pre-r6 plan).
     """
     sigs = embeddings.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("v"),
         srp_signature_col(F.col(vec_col), dim, n_bits, seed).alias("sig"),
-    ).persist()
+    ).withColumn("nrm", _fold_norm(F.col("v"))).persist()
     bits_per_chunk = n_bits // n_chunks
     mask = (1 << bits_per_chunk) - 1
-    # Band on IDs ONLY (mirrors the MinHash pipeline, dedup_ops.py):
-    # the band self-join multiplies every row n_chunks×, so carrying the
-    # d-dim vector through it multiplies shuffle bytes by ~n_chunks·d·8
-    # per row — at d=768 that is the difference between shuffling ids
-    # and shuffling the corpus several times over. Vectors are joined
-    # back AFTER pair dedup, for the (small) verify sliver only.
+
+    def _chunk(col: Column, c: int) -> Column:
+        return F.shiftrightunsigned(col, c * bits_per_chunk).bitwiseAND(
+            F.lit(mask)
+        )
+
+    # Band on (id, sig) ONLY (mirrors the MinHash pipeline,
+    # dedup_ops.py): the band self-join multiplies every row n_chunks×,
+    # so carrying the d-dim vector through it multiplies shuffle bytes
+    # by ~n_chunks·d·8 per row — at d=768 that is the difference
+    # between shuffling ids and shuffling the corpus several times
+    # over. Vectors are joined back AFTER banding, for the (small)
+    # verify sliver only. The 8-byte sig rides along to drive the
+    # minimal-band dedup below.
     chunks = sigs.select(
         id_col,
+        "sig",
         F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("sig"), c * bits_per_chunk)
-                    .bitwiseAND(F.lit(mask))
-                    for c in range(n_chunks)
-                ]
-            )
+            F.array(*[_chunk(F.col("sig"), c) for c in range(n_chunks)])
         ).alias("chunk_id", "chunk"),
     )
-    left = chunks.select(F.col(id_col).alias("id_a"), "chunk_id", "chunk")
-    right = chunks.select(F.col(id_col).alias("id_b"), "chunk_id", "chunk")
+    # Pin the band self-join's width with an EXPLICIT repartition on the
+    # join key (user-specified counts are exempt from AQE coalescing).
+    # The band rows are tiny (id, sig, chunk) — AQE sizes the join's
+    # exchange by those few MB and coalesces it to a handful of
+    # partitions — but the join's OUTPUT fans out ~bucket_size× per row
+    # and the whole verify chain (broadcast attach + cosine fold) runs
+    # in that same stage: measured 4-task stages folding 25M pairs at
+    # sf1.0 (125 s) vs 32-wide (guide §2.5: size by what the stage
+    # COMPUTES, not what the shuffle reads). Both join sides project
+    # from this one repartition, so the exchange is planned once
+    # (ReuseExchange) and the join itself adds none.
+    spark = embeddings.sparkSession
+    try:
+        n_band_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):  # e.g. "auto" on AQE-managed sessions
+        n_band_parts = spark.sparkContext.defaultParallelism
+    chunks = chunks.repartition(n_band_parts, "chunk_id", "chunk")
+    left = chunks.select(
+        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"),
+        "chunk_id", "chunk",
+    )
+    right = chunks.select(
+        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"),
+        "chunk_id", "chunk",
+    )
+    # minimal-band emission: a pair colliding in k bands appears k
+    # times in the join output; keep only the row from the smallest
+    # colliding band — for band chunk_id, all earlier bands must
+    # differ. Every colliding pair is emitted from exactly one band,
+    # so the result is distinct by construction (== dropDuplicates).
+    no_earlier = F.lit(True)
+    for c in range(n_chunks - 1):
+        no_earlier = no_earlier & (
+            (F.col("chunk_id") <= F.lit(c))
+            | (_chunk(F.col("sig_a"), c) != _chunk(F.col("sig_b"), c))
+        )
     cand = (
         left.join(right, ["chunk_id", "chunk"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter((F.col("id_a") < F.col("id_b")) & no_earlier)
         .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
-    vecs = sigs.select(id_col, "v")
-    pairs = cand.join(
-        vecs.select(F.col(id_col).alias("id_a"), F.col("v").alias("v_a")),
-        "id_a",
-    ).join(
-        vecs.select(F.col(id_col).alias("id_b"), F.col("v").alias("v_b")),
-        "id_b",
+    vecs = sigs.select(id_col, "v", "nrm")
+    a_side = vecs.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("v_a"),
+        F.col("nrm").alias("n_a"),
     )
+    b_side = vecs.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("v_b"),
+        F.col("nrm").alias("n_b"),
+    )
+    if broadcast_vectors:
+        a_side, b_side = F.broadcast(a_side), F.broadcast(b_side)
+    pairs = cand.join(a_side, "id_a").join(b_side, "id_b")
     cos = _fold_dot(F.col("v_a"), F.col("v_b")) / (
-        _fold_norm(F.col("v_a")) * _fold_norm(F.col("v_b"))
+        F.col("n_a") * F.col("n_b")
     )
     return (
         pairs.withColumn("cos_sim", F.round(cos, 4))
