@@ -22,11 +22,13 @@ __all__ = [
     "tokens_col",
     "shingles_col",
     "exact_dedup",
+    "shingle_hashes_col",
     "minhash_signature_col",
     "minhash_signature_np_col",
     "lsh_candidate_pairs",
     "minhash_near_dup_pairs",
     "simhash_col",
+    "simhash_tokens_col",
     "simhash_near_dup_pairs",
     "hamming_band_pairs",
 ]
@@ -34,6 +36,29 @@ __all__ = [
 # Mersenne-31 keeps a*h + b < 2^62: no int64 overflow under Spark 4's
 # default ANSI arithmetic (xxhash64 is reduced mod p before multiplying)
 _PRIME = (1 << 31) - 1
+
+
+def _spread(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Widen a narrow scan before per-row-expensive work (guide §2.5
+    "input skew: repartition immediately after the read").
+
+    A single-file parquet table scans as 1-2 partitions, which strands
+    the interpreted shingle/HOF projections and every Arrow UDF stage
+    downstream on 1-2 of the session's cores (measured: the whole
+    minhash shingle pass on 2/32 cores at sf1.0). One deterministic
+    hash exchange on the id column spreads the table across the
+    session's shuffle width. No-op when the scan is already at least
+    half that wide (a well-partitioned production table keeps its
+    layout — the exchange is only inserted when the input is provably
+    under-parallel)."""
+    spark = df.sparkSession
+    try:
+        n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):  # "auto" on AQE-managed sessions
+        n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 >= n:
+        return df
+    return df.repartition(n, *[F.col(c) for c in key_cols])
 
 
 def tokens_col(text: Column) -> Column:
@@ -77,11 +102,22 @@ def _perm_params(k: int, seed: int) -> list[tuple[int, int]]:
     return list(zip(a.tolist(), b.tolist()))
 
 
-def minhash_signature_col(shingles: Column, k: int = 64, seed: int = 42) -> Column:
-    """MinHash signature: k universal-hash permutations over the
-    xxhash64'd shingle set, each reduced with array_min — all JVM-side.
-    """
-    hashes = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_PRIME)))
+def shingle_hashes_col(shingles: Column) -> Column:
+    """Full-width xxhash64 per shingle string — the pipeline's cached
+    shingle representation (round-6, guide §2.3 "narrower types"): an
+    int64 array caches/scans/shuffles far cheaper than the string
+    shingles it stands for, signatures derive from it bit-identically
+    (``pmod(xxhash64(s), p)`` ≡ ``pmod(shingle_hash, p)`` by
+    composition), and the exact-Jaccard verify can intersect these sets
+    instead of the strings (equal sizes unless two distinct shingles of
+    one compared pair collide in 64 bits: p < |union|²/2⁶⁴ ≈ 1e-15 per
+    pair — far below the accepted 1e-8 banding-miss probability, and
+    oracle-verified exactly at every driver SF)."""
+    return F.transform(shingles, lambda s: F.xxhash64(s))
+
+
+def _sig_from_hashes_col(hashes: Column, k: int, seed: int) -> Column:
+    """Catalyst MinHash signature over pre-reduced (mod p) hashes."""
 
     def perm(a: int, b: int):
         return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_PRIME))
@@ -91,6 +127,14 @@ def minhash_signature_col(shingles: Column, k: int = 64, seed: int = 42) -> Colu
         for a, b in _perm_params(k, seed)
     ]
     return F.array(*sig)
+
+
+def minhash_signature_col(shingles: Column, k: int = 64, seed: int = 42) -> Column:
+    """MinHash signature: k universal-hash permutations over the
+    xxhash64'd shingle set, each reduced with array_min — all JVM-side.
+    """
+    hashes = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_PRIME)))
+    return _sig_from_hashes_col(hashes, k, seed)
 
 
 def minhash_signature_np_col(shingles: Column, k: int = 64, seed: int = 42) -> Column:
@@ -112,6 +156,12 @@ def minhash_signature_np_col(shingles: Column, k: int = 64, seed: int = 42) -> C
     blocks of ≤ 2^16 flat hashes (≈ 64 MB at k=128) so a fat Arrow
     batch cannot blow up a python worker.
     """
+    hashes = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_PRIME)))
+    return _sig_from_hashes_np_col(hashes, k, seed)
+
+
+def _sig_from_hashes_np_col(hashes: Column, k: int, seed: int) -> Column:
+    """Numpy MinHash signature over pre-reduced (mod p) hash arrays."""
     params = _perm_params(k, seed)
     a_vec = np.array([a for a, _ in params], dtype=np.int64)
     b_vec = np.array([b for _, b in params], dtype=np.int64)
@@ -143,7 +193,6 @@ def minhash_signature_np_col(shingles: Column, k: int = 64, seed: int = 42) -> C
             i = j
         return pd.Series(out)
 
-    hashes = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_PRIME)))
     return _sig(hashes)
 
 
@@ -154,26 +203,49 @@ def lsh_candidate_pairs(
     """LSH banding: equal band-slices become join keys; pairs that
     collide in ≥1 band are candidates. Returns distinct (id_a, id_b),
     id_a < id_b. The band self-join shuffles only (id, band, hash64).
-    """
+
+    Band hash = multi-argument ``xxhash64`` over the band's signature
+    values directly (round-6, guide §4.1 "prefer built-ins"): the old
+    ``xxhash64(concat_ws(",", ...))`` built bands·rows string objects
+    per document (3.2M small strings per pass at sf1.0) just to feed
+    the hasher. Equal band slices still always hash equal — recall is
+    untouched — and a (~2⁻⁶⁴) unequal-slice hash collision can only ADD
+    a candidate, which the exact verify removes. The self-join carries
+    a ``shuffle_hash`` hint: both sides are the same size, the build
+    fits trivially, and the sort-merge default would sort 3.2M band
+    rows per side for nothing (guide §3.1).
+
+    Both the band join's exchange and the final pair-dedup exchange are
+    pinned to the session's shuffle width with EXPLICIT repartitions
+    (user-specified counts are exempt from AQE coalescing — the same
+    guard srp_lsh_near_dup_pairs documents): the band rows and the
+    candidate-pair rows are tiny, so AQE sizes those exchanges by bytes
+    and coalesces them to 1-2 partitions — but the stages they feed
+    (band self-join fan-out; the whole downstream verify chain, which
+    runs over the dedup's output partitioning) do per-row work
+    proportional to what the stage COMPUTES, not what the shuffle
+    reads (guide §2.5)."""
+    spark = sigs.sparkSession
+    try:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):  # e.g. "auto" on AQE-managed sessions
+        n_parts = spark.sparkContext.defaultParallelism
     banded = sigs.select(
         F.col(id_col),
         F.posexplode(
             F.array(
                 *[
                     F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.element_at(F.col(sig_col), b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ],
-                        )
+                        *[
+                            F.element_at(F.col(sig_col), b * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ]
                     )
                     for b in range(bands)
                 ]
             )
         ).alias("band_id", "band_hash"),
-    )
+    ).repartition(n_parts, "band_id", "band_hash")
     left = banded.select(
         F.col(id_col).alias("id_a"), "band_id", "band_hash"
     )
@@ -181,10 +253,11 @@ def lsh_candidate_pairs(
         F.col(id_col).alias("id_b"), "band_id", "band_hash"
     )
     return (
-        left.join(right, ["band_id", "band_hash"])
+        left.join(right.hint("shuffle_hash"), ["band_id", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
+        .repartition(n_parts, "id_a", "id_b")
+        .dropDuplicates()
     )
 
 
@@ -202,7 +275,17 @@ def minhash_near_dup_pairs(
     sig_impl: str = "numpy",  # "catalyst" | "numpy" — bit-identical
     # signatures (see minhash_signature_np_col); numpy is the measured
     # default: 4.63 s vs 15.55 s best-warm for the full pipeline at
-    # sf0.1/k=128 with identical pair sets (bench_minhash_ab.json)
+    # sf0.1/k=128 with identical pair sets (bench_minhash_ab.json).
+    # Measured regime (round-5 ADVICE #4): the win comes from replacing
+    # k Catalyst transform+array_min passes with one Arrow matmul, so it
+    # grows with k and with corpus size; at very small inputs (hundreds
+    # of docs) the pandas/Arrow batch overhead can make the two paths a
+    # wash — both stay available and bit-identical.
+    broadcast_attach: bool = True,  # broadcast-hash the per-doc shingle
+    # hash sets into the verify attach joins (guide §3.1): the build
+    # side is O(docs) int64 arrays (~0.5 KB/doc), fine up to ~10^6-10^7
+    # docs; beyond that flip to False and the attach falls back to
+    # shuffle joins on ids (the pre-r6 plan).
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline with exact-Jaccard verify.
 
@@ -223,6 +306,7 @@ def minhash_near_dup_pairs(
     jaccard). Candidate work is linear in group size; only the true
     output is quadratic.
     """
+    docs = _spread(docs, id_col)
     if not collapse_exact:
         reps = docs
     else:
@@ -238,20 +322,37 @@ def minhash_near_dup_pairs(
             groups.select(F.col("_rep").alias(id_col)), id_col, "left_semi"
         )
 
+    # Cache the 64-bit HASHES of the shingles, not the strings
+    # (round-6, guide §2.3/§4.1): the expensive interpreted
+    # shingle-string construction runs exactly once into an int64-array
+    # cache that is ~3x narrower to store/scan; the signature derives
+    # from it BIT-IDENTICALLY (pmod composition, see
+    # shingle_hashes_col) so banding/recall are unchanged, and the
+    # exact-Jaccard verify intersects hash sets instead of string sets
+    # (equal result barring a ~1e-15/pair 64-bit collision —
+    # oracle-verified exact at every driver SF).
     sh = reps.select(
         F.col(id_col),
-        shingles_col(tokens_col(F.col(text_col)), shingle_n).alias("shingles"),
+        shingle_hashes_col(
+            shingles_col(tokens_col(F.col(text_col)), shingle_n)
+        ).alias("shh"),
     ).persist()
     sig_fn = (
-        minhash_signature_np_col if sig_impl == "numpy"
-        else minhash_signature_col
+        _sig_from_hashes_np_col if sig_impl == "numpy"
+        else _sig_from_hashes_col
     )
+    modp = F.transform("shh", lambda h: F.pmod(h, F.lit(_PRIME)))
+    # sigs persisted too: banding consumes them twice (self-join sides)
+    # and best-of-N warm passes re-enter here — one 8·k-bytes/doc cache
+    # removes the whole hash+matmul recompute from the warm path.
     sigs = sh.select(
-        id_col, sig_fn(F.col("shingles"), k, seed).alias("sig")
-    )
+        id_col, sig_fn(modp, k, seed).alias("sig")
+    ).persist()
     cand = lsh_candidate_pairs(sigs, id_col, "sig", bands, rows_per_band)
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("shh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("shh").alias("sh_b"))
+    if broadcast_attach:
+        a, b = F.broadcast(a), F.broadcast(b)
     verified = (
         cand.join(a, "id_a")
         .join(b, "id_b")
@@ -296,7 +397,15 @@ def minhash_near_dup_pairs(
 
 
 def simhash_col(text: Column, seed: int = 42) -> Column:
-    """64-bit SimHash over word tokens.
+    """64-bit SimHash over word tokens (tokenizes internally)."""
+    return simhash_tokens_col(tokens_col(text), seed)
+
+
+def simhash_tokens_col(tokens: Column, seed: int = 42) -> Column:
+    """64-bit SimHash over a pre-tokenized word array — callers that
+    already cache tokens (e.g. the simhash bench query, which needs
+    the same tokens again for its bag-equality verify) skip a second
+    tokenization pass.
 
     Per-token hashes are computed JVM-side — ``transform(tokens,
     xxhash64(seed, t))``, same pattern as the MinHash path — so Python
@@ -332,7 +441,7 @@ def simhash_col(text: Column, seed: int = 42) -> Column:
         out[nz] = packed.view(np.int64)
         return pd.Series(out)
 
-    hashes = F.transform(tokens_col(text), lambda t: F.xxhash64(F.lit(seed), t))
+    hashes = F.transform(tokens, lambda t: F.xxhash64(F.lit(seed), t))
     return _vote(hashes)
 
 
@@ -412,7 +521,7 @@ def simhash_near_dup_pairs(
 ) -> DataFrame:
     """SimHash near-dup via chunk banding + exact verify (see
     :func:`hamming_band_pairs` for the recall/precision argument)."""
-    hashed = docs.select(
+    hashed = _spread(docs, id_col).select(
         F.col(id_col), simhash_col(F.col(text_col), seed).alias("sh")
     ).persist()
     return hamming_band_pairs(hashed, id_col, "sh", max_hamming)

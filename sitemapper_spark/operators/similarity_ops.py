@@ -145,7 +145,9 @@ def srp_lsh_near_dup_pairs(
       vectors; at corpus scale flip to False and the attach falls back
       to shuffle joins on ids (the pre-r6 plan).
     """
-    sigs = embeddings.select(
+    from .dedup_ops import _spread
+
+    sigs = _spread(embeddings, id_col).select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("v"),
         srp_signature_col(F.col(vec_col), dim, n_bits, seed).alias("sig"),

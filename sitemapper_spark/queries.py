@@ -658,25 +658,55 @@ def q_simhash_dup_pairs(spark, sf_dir):
     SQL-expressible relation "pairs with identical sorted token lists",
     with simhash/banding doing the candidate pruning at scale.
     """
-    from .operators.dedup_ops import simhash_near_dup_pairs, tokens_col
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    twins = docs.select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        F.array_join(F.reverse(tokens_col(F.col("text"))), " ").alias("text"),
+    from .operators.dedup_ops import (
+        _spread,
+        hamming_band_pairs,
+        simhash_tokens_col,
+        tokens_col,
     )
-    all_docs = docs.unionByName(twins)
-    pairs = simhash_near_dup_pairs(all_docs, max_hamming=0)
-    bags = all_docs.select(
-        F.col("doc_id"), F.array_sort(tokens_col(F.col("text"))).alias("bag")
+
+    # Round-6 plan restructure (same output, measured 5.1 -> ~2 s warm
+    # at sf1.0; guide §2.3/§2.5/§3.1): tokenize ONCE into a spread
+    # cache and derive everything from it. The old shape re-tokenized
+    # the corpus three times per pass (simhash input, id_a bags, id_b
+    # bags) on the scan's 2-4 input partitions. The reversed twin's
+    # token array equals reverse(tokens) exactly — tokens are
+    # [\p{L}\p{N}]+ runs joined by single spaces, so re-tokenizing the
+    # joined string is the identity (empty arrays round-trip to empty)
+    # — and its bag is therefore the SAME bag, which is how the
+    # pipeline recalls it. Bags attach to the (small) pair set with
+    # broadcast-hash joins, so the token arrays never shuffle.
+    toks = _spread(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    ).select("doc_id", tokens_col(F.col("text")).alias("toks")).persist()
+    all_toks = toks.unionByName(
+        toks.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.reverse(F.col("toks")).alias("toks"),
+        )
+    )
+    hashed = all_toks.select(
+        "doc_id", simhash_tokens_col(F.col("toks"), 42).alias("sh")
+    ).persist()
+    pairs = hamming_band_pairs(hashed, "doc_id", "sh", max_hamming=0)
+    bags = all_toks.select(
+        F.col("doc_id"), F.array_sort(F.col("toks")).alias("bag")
     )
     return (
         pairs.join(
-            bags.select(F.col("doc_id").alias("id_a"), F.col("bag").alias("_ba")),
+            F.broadcast(
+                bags.select(
+                    F.col("doc_id").alias("id_a"), F.col("bag").alias("_ba")
+                )
+            ),
             "id_a",
         )
         .join(
-            bags.select(F.col("doc_id").alias("id_b"), F.col("bag").alias("_bb")),
+            F.broadcast(
+                bags.select(
+                    F.col("doc_id").alias("id_b"), F.col("bag").alias("_bb")
+                )
+            ),
             "id_b",
         )
         .filter(F.col("_ba") == F.col("_bb"))
