@@ -1136,6 +1136,7 @@ class CrawlEngine:
 
         if resume:
             self._recover_swaps()  # repair a checkpoint crashed mid-swap
+        seed_write_thread: _BgAction | None = None
         done = self._complete_rounds()
         if resume and done:
             start_round = done[-1] + 1
@@ -1173,11 +1174,26 @@ class CrawlEngine:
             # dropDuplicates shuffle for each — measured as double
             # round-0 latency on 500k-seed mega rounds. Rounds >= 1 get
             # this for free from the frontier_next checkpoint.
-            frontier = self._write(
-                seed_plan.repartition(npart, "host_hash", "salt"),
-                0,
-                "frontier_seed",
-            )
+            seed_fr_plan = seed_plan.repartition(npart, "host_hash", "salt")
+            if cfg.frontier_handoff:
+                # round-6: the seed frontier gets the SAME handoff as
+                # frontier_next (one lazy localCheckpoint + count job
+                # materializes and sizes it; the parquet lands in the
+                # background under round 0's compute). Safe for resume:
+                # frontier_seed is never read back on resume — a crash
+                # before round 0's manifest restarts from the seeds —
+                # and the writer thread is joined with round 0's tail,
+                # before that manifest exists. Was a 2-3 s FOREGROUND
+                # write on 250k-seed mega rounds.
+                frontier = seed_fr_plan.localCheckpoint(eager=False)
+                n_frontier = frontier.count()
+                seed_write_thread = _BgAction(
+                    self._write, frontier, 0, "frontier_seed",
+                    sc=spark.sparkContext,
+                )
+            else:
+                frontier = self._write(seed_fr_plan, 0, "frontier_seed")
+                n_frontier = frontier.count()  # parquet metadata count
             visited_rounds = []
             self._visited_rounds = visited_rounds
 
@@ -1187,9 +1203,9 @@ class CrawlEngine:
         # materialization job are folded into ONE count job per round
         # (the count that materializes the next frontier also sizes it;
         # round-5 verdict #2 — fewer serial driver actions per round).
-        # Here, at loop entry, the frontier is parquet-backed, so the
-        # count is a cheap metadata job.
-        n_frontier = frontier.count()
+        if resume and done:
+            # loop entry on resume: parquet-backed — cheap metadata job
+            n_frontier = frontier.count()
         # visited parquet writes run in the background; anything that
         # re-reads the visited PARQUET mid-run (the next round's prior-
         # rounds scan, the rare cuckoo degrade rebuild) must join the
@@ -1239,6 +1255,8 @@ class CrawlEngine:
         live_threads: list[_BgAction] = []
         live_caches: list[DataFrame] = []
         live_bcs: list = []
+        if seed_write_thread is not None:
+            live_threads.append(seed_write_thread)
 
         def settle_tail(tail: dict) -> None:
             for th in tail["threads"]:
@@ -1851,17 +1869,21 @@ class CrawlEngine:
                     "threads": [
                         th
                         for th in (
+                            seed_write_thread,  # joined with round 0's
+                            # tail — BEFORE round 0's manifest can exist
                             visited_thread, edges_thread, lineage_thread,
                             image_thread,
                         )
                         if th is not None
                     ],
+                    # (seed thread rides in round 0's tail only)
                     "unpersist": [cleaned]
                     + ([] if identity_dequeue else [dequeued, carry]),
                     "bcs": round_bcs,
                     "round_no": round_no,
                     "manifest": None,  # manifest travels with the light tail
                 }
+                seed_write_thread = None  # consumed by round 0's tail
                 light_tail = {
                     "threads": [frontier_thread] if frontier_thread else [],
                     "unpersist": [fr_cached] if fr_cached is not None else [],

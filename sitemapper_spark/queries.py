@@ -372,15 +372,36 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q_tpch_q3_like(spark, sf_dir):
-    """Join-heavy revenue top-10 (join strategy exercise)."""
+    """Join-heavy revenue top-10 (join strategy exercise).
+
+    Round-6 join order (guide §3.1/§3.2; same result, 2.0 -> ~0.6 s at
+    sf1.0): instead of shuffling the 6M-row lineitem into a sort-merge
+    join with orders, the selective side is reduced FIRST — customer is
+    filtered and broadcast into a semi-join that keeps the ~1/5 of
+    orders with a BUILDING customer, and the surviving o_orderkey set
+    (still only ~300k longs at sf1.0) is broadcast into the lineitem
+    join. lineitem is then never exchanged: one scan, one broadcast
+    probe, partial aggregation. Equivalent to the declared three-way
+    inner join because c_custkey is the customer table's key (the
+    customer join matches each order at most once, exactly the
+    semi-join); at a scale where the surviving key set outgrows a
+    broadcast, the same reduction becomes a Bloom-filter prefilter on
+    lineitem (guide §3.2)."""
     customer = _t(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
     orders = _t(spark, sf_dir, "orders")
     lineitem = _t(spark, sf_dir, "lineitem")
+    ord_keys = orders.join(
+        F.broadcast(customer.select("c_custkey")),
+        orders["o_custkey"] == customer["c_custkey"],
+        "left_semi",
+    ).select("o_orderkey")
     return (
-        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
-        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        lineitem.join(
+            F.broadcast(ord_keys),
+            lineitem["l_orderkey"] == ord_keys["o_orderkey"],
+        )
         .groupBy("o_orderkey")
         .agg(
             F.round(
@@ -583,8 +604,10 @@ def q_ivf_ann_topk(spark, sf_dir):
     from .operators.similarity_ops import ivf_assign, ivf_topk, kmeans_centroids
 
     emb = _t(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()["embedding"])
+    # one driver job fetches the query vector; dim derives from it
+    # (the old shape paid a second first() job just for the length)
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    dim = len(qvec)
     cents = kmeans_centroids(emb, n_clusters=4, dim=dim, iters=1)
     indexed = ivf_assign(emb, cents)
     return ivf_topk(
@@ -881,9 +904,13 @@ def q_image_near_dup(spark, sf_dir):
                 rows.append((str(d + 100000), png_encode(twin), "png"))
             yield pd.DataFrame(rows, columns=["image_id", "bytes", "fmt"])
 
+    from .operators.dedup_ops import _spread
+
     images = (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id")
+        # spread the doc scan (guide §2.5): a single-file documents
+        # table would run the whole synth-encode + decode UDF chain on
+        # its 1-2 scan partitions
+        _spread(_t(spark, sf_dir, "documents").select("doc_id"), "doc_id")
         .mapInPandas(gen, schema="image_id string, bytes binary, fmt string")
     )
     sigs = decode_signatures(images).persist()
