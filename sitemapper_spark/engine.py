@@ -186,6 +186,20 @@ class CrawlConfig:
     # fetch/decodes the image payload of visited pages and appends image
     # rows (url, phash, ok, psnr_db, caption_ok); bytes are read from
     # the corpus scan and never shuffled (semi-join prune, mapInPandas)
+    corpus_cache_min_depth: int | None = 4  # fixpoint-shaped crawls
+    # (max_depth >= this) re-scan the projected corpus once or twice
+    # PER ROUND — the fetch semi-join/broadcast build and the image
+    # prune each read all N corpus rows (round-6 stage profile: the
+    # 2M-row rescans were the largest executor-time bucket of the deep
+    # BFS, ~5-40 exec-s per round) — so both corpus sides are pinned
+    # MEMORY_AND_DISK for the run and unpersisted on exit (measured
+    # -13% deep-BFS wall; shallow fat crawls don't amortize the fill
+    # and mega measured neutral, hence the depth gate). None disables.
+    corpus_cache_max_bytes: int = 4 << 30  # only cache when the
+    # corpus's on-disk footprint is measurably below executor storage
+    # (local files only; unknown/remote sizes disable the cache) — at
+    # corpus scales beyond memory the per-round rescans are the
+    # streaming design, not a bug, and the cache would just thrash.
     frontier_handoff: bool = True  # round N's frontier_next is handed
     # to round N+1 as an eager localCheckpoint (same repartition
     # exchange, no parquet encode on the critical path, lineage
@@ -334,6 +348,19 @@ class CrawlEngine:
             if self.config.decode_verify_images
             else None
         )
+        self._corpus_pins: list[DataFrame] = []
+
+    def release_corpus_pins(self) -> None:
+        """Unpersist the fixpoint-run corpus caches (see
+        CrawlConfig.corpus_cache_min_depth). Optional: the pins are
+        evictable MEMORY_AND_DISK blocks deduped across engines; call
+        this in a long-lived shared session once crawling is done."""
+        for pin in self._corpus_pins:
+            try:
+                pin.unpersist()
+            except Exception:  # noqa: BLE001
+                pass
+        self._corpus_pins = []
 
     # ------------------------------------------------------------------
     def _ckpt(self, *parts: str) -> str:
@@ -370,6 +397,27 @@ class CrawlEngine:
             ):
                 out.append(int(d.split("=")[1]))
         return out
+
+    def _corpus_bytes_on_disk(self) -> int:
+        """Total local on-disk size of the corpus input files; a
+        sentinel larger than any cache cap when unknown (remote
+        schemes, in-memory sources) so unknown sizes never cache."""
+        try:
+            from urllib.parse import urlparse
+            from urllib.request import url2pathname
+
+            files = self.fetch_side.inputFiles()
+            if not files:
+                return 1 << 62
+            total = 0
+            for f in files:
+                u = urlparse(f)
+                if u.scheme not in ("", "file"):
+                    return 1 << 62
+                total += os.path.getsize(url2pathname(u.path))
+            return total
+        except Exception:  # noqa: BLE001 — sizing is best-effort
+            return 1 << 62
 
     def _read_rounds(self, name: str, rounds: list[int]) -> DataFrame | None:
         paths = [
@@ -1007,6 +1055,34 @@ class CrawlEngine:
         if not resume and os.path.isdir(self._dir):
             shutil.rmtree(self._dir)
         os.makedirs(self._dir, exist_ok=True)
+
+        # Pin the corpus sides for fixpoint-shaped runs (see
+        # CrawlConfig.corpus_cache_min_depth): every round's fetch
+        # prune/broadcast build and image prune re-scan all corpus
+        # rows; at >= min_depth rounds the rescans dominate and an
+        # in-memory (disk-spilling, evictable) cache of the two
+        # projections pays for its one fill. Plans and results are
+        # unchanged — the same subtree reads an InMemoryRelation
+        # instead of parquet. The pins outlive the run on purpose
+        # (CacheManager dedupes re-registration across engines over
+        # the same corpus, so repeated runs share ONE fill; release
+        # explicitly via release_corpus_pins() in long-lived sessions).
+        if (
+            cfg.corpus_cache_min_depth is not None
+            and cfg.max_depth >= cfg.corpus_cache_min_depth
+            and self._corpus_bytes_on_disk() <= cfg.corpus_cache_max_bytes
+        ):
+            from pyspark import StorageLevel
+
+            self.fetch_side = self.fetch_side.persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            self._corpus_pins.append(self.fetch_side)
+            if self.image_side is not None:
+                self.image_side = self.image_side.persist(
+                    StorageLevel.MEMORY_AND_DISK
+                )
+                self._corpus_pins.append(self.image_side)
 
         npart = cfg.num_partitions or spark.sparkContext.defaultParallelism
         # run metadata is tiny and constant: collect ONCE, re-create as

@@ -111,3 +111,22 @@ def test_simhash_near_dup_equals_brute_force(docs):
     # exact verify → no false positives: exact equality
     assert got == expected
     assert got[(0, 1)] == 0  # exact dups → identical simhash
+
+
+def test_minhash_broadcast_attach_off_equals_default(docs):
+    """Round-6: the corpus-scale shuffle-attach fallback
+    (broadcast_attach=False) must produce the identical pair set as the
+    default broadcast verify — the flag changes the plan, never the
+    relation."""
+    kw = dict(threshold=0.3, k=64, bands=16, rows_per_band=4)
+    bcast = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.minhash_near_dup_pairs(docs, **kw).collect()
+    }
+    shuffle = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.minhash_near_dup_pairs(
+            docs, broadcast_attach=False, **kw
+        ).collect()
+    }
+    assert bcast == shuffle and bcast

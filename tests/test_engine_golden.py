@@ -131,3 +131,41 @@ def test_multi_seed_isolation(spark, tmp_path):
     adj_b = result.adjacency_dict("b")
     # seed tomato at depth 0, lemon at depth 1; lemon's links recorded
     assert set(adj_b) == {f"{ROOT}/tomato.html", f"{ROOT}/aubergine/lemon.html"}
+
+
+def test_corpus_pins_engage_and_release(spark, tmp_path):
+    """Round-6: fixpoint-shaped runs (max_depth >= corpus_cache_min_depth)
+    over a local parquet corpus pin the fetch/image projections
+    MEMORY_AND_DISK; results are identical to the uncached run and
+    release_corpus_pins() drops the registration."""
+    src = corpus_mod.testsite_corpus(spark)
+    pq = str(tmp_path / "pin_corpus")
+    src.write.mode("overwrite").parquet(pq)
+    corpus = spark.read.parquet(pq)
+
+    def run(tag, min_depth):
+        cfg = CrawlConfig(
+            max_depth=5,
+            use_html_extraction=False,
+            checkpoint_dir=str(tmp_path / f"ckpt_pin_{tag}"),
+            use_bloom=False,
+            num_partitions=4,
+            corpus_cache_min_depth=min_depth,
+        )
+        eng = CrawlEngine(spark, corpus, cfg)
+        res = eng.run([(ROOT, "run1", 5, 0.0)])
+        rows = sorted(
+            (r["url"], r["depth"]) for r in res.visited.collect()
+        )
+        return eng, rows
+
+    eng_pin, rows_pin = run("on", 4)
+    assert eng_pin._corpus_pins, "pin did not engage on a local parquet corpus"
+    assert all(
+        df.storageLevel.useMemory for df in eng_pin._corpus_pins
+    )
+    eng_off, rows_off = run("off", None)
+    assert not eng_off._corpus_pins
+    assert rows_pin == rows_off and rows_pin
+    eng_pin.release_corpus_pins()
+    assert not eng_pin._corpus_pins
