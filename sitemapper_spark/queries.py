@@ -904,13 +904,14 @@ def q_image_near_dup(spark, sf_dir):
                 rows.append((str(d + 100000), png_encode(twin), "png"))
             yield pd.DataFrame(rows, columns=["image_id", "bytes", "fmt"])
 
-    from .operators.dedup_ops import _spread
-
     images = (
-        # spread the doc scan (guide §2.5): a single-file documents
-        # table would run the whole synth-encode + decode UDF chain on
-        # its 1-2 scan partitions
-        _spread(_t(spark, sf_dir, "documents").select("doc_id"), "doc_id")
+        # NOT spread (round-6 A/B): unlike the text pipelines, widening
+        # the doc scan before the synth-encode/decode chain measured a
+        # wash at sf1.0 and ~0.1 s SLOWER at sf0.1 (the added exchange
+        # outweighs the narrow scan — the decode chain's own exchanges
+        # already re-spread the heavy work)
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
         .mapInPandas(gen, schema="image_id string, bytes binary, fmt string")
     )
     sigs = decode_signatures(images).persist()
